@@ -1,0 +1,81 @@
+"""examodels_tpu — a TPU-native algebraic modeling + AD + interior-point stack.
+
+A ground-up JAX/XLA/Pallas implementation of the "SIMD abstraction" for large
+sparse nonlinear programs (capability reference: exanauts/ExaModels.jl — see
+SURVEY.md):  the user declares objective/constraint terms as a single scalar
+expression *template* iterated over an index/data set; each template is traced
+once into an expression tree, its derivative sparsity is detected at build
+time, and obj/cons/grad/jac/hess evaluate as batched reverse-mode AD
+(`jax.vmap` of per-element value/grad/hess) scattering into fixed COO slots
+via sorted segment-sums.
+
+Unlike the reference (which stops at the NLPModels oracle API), this package
+also ships an on-device filter line-search interior-point solver.
+
+Design notes (TPU-first):
+  * everything on the hot path is jitted; structures are static at build time
+  * accumulation is sort-once + segment_sum, never atomic scatter
+  * float64 is enabled by default (NLP to 1e-6 needs it); set
+    EXAMODELS_TPU_NO_X64=1 before import to opt out.
+"""
+
+import os as _os
+
+if not _os.environ.get("EXAMODELS_TPU_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+from .core.graph import (  # noqa: E402
+    Node,
+    Const,
+    register_univariate,
+    register_bivariate,
+)
+from .core import math as emath  # noqa: E402
+from .core.math import *  # noqa: F401,F403,E402
+from .nlp.core import (  # noqa: E402
+    ExaCore,
+    Variable,
+    Parameter,
+    Constraint,
+    Objective,
+    add_var,
+    add_par,
+    add_obj,
+    add_con,
+    add_con_aug,
+    add_expr,
+)
+from .nlp.model import ExaModel, set_parameter, solution, multipliers, multipliers_L, multipliers_U  # noqa: E402
+from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
+
+__all__ = [
+    "Node",
+    "Const",
+    "register_univariate",
+    "register_bivariate",
+    "emath",
+    "ExaCore",
+    "ExaModel",
+    "Variable",
+    "Parameter",
+    "Constraint",
+    "Objective",
+    "add_var",
+    "add_par",
+    "add_obj",
+    "add_con",
+    "add_con_aug",
+    "add_expr",
+    "set_parameter",
+    "solution",
+    "multipliers",
+    "multipliers_L",
+    "multipliers_U",
+    "madipm",
+    "IPMOptions",
+    "IPMResult",
+] + emath.__all__
+
+__version__ = "0.1.0"

@@ -1,0 +1,401 @@
+"""ExaModel — frozen model with jitted NLP oracle methods.
+
+The analogue of ExaModel + the NLPModels method set
+(/root/reference/src/nlp.jl:436-532, 1336-1556) and of the KernelAbstractions
+device backend (/root/reference/ext/ExaModelsKernelAbstractions.jl), unified
+into one XLA code path:
+
+  * per pattern: gather x/θ slot values -> vmapped (value, grad, hess-entry)
+    evaluation -> fixed COO slots (element-major, slot-minor);
+  * dense accumulations (cons rows incl. augmentations, gradient) use the
+    sort-once + segment-sum design — the permutation is computed at build
+    time, runtime does gather + segment_sum(indices_are_sorted=True), the
+    direct analogue of the sorted-sparsity `compress_to_dense` kernel
+    (/root/reference/ext/ExaModelsKernelAbstractions.jl:691-715);
+  * matrix-free products (jprod/jtprod/hprod) are JAX jvp/vjp through the
+    assembled oracle functions (parity with the dispatch-based matrix-free
+    modes of /root/reference/src/jacobian.jl:16-97, hessian.jl:291-315).
+
+All oracle methods are jitted per model; static structure arrays flow through
+an explicit pytree argument so they are runtime buffers, not baked constants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import ConstraintAug, ExaCore, Parameter, Variable
+
+
+def _seg_perm(targets: np.ndarray):
+    """Build-time: stable sort permutation + sorted segment ids."""
+    perm = np.argsort(targets, kind="stable")
+    return perm.astype(np.int32), targets[perm].astype(np.int32)
+
+
+@dataclass
+class _PatternRT:
+    """Per-pattern runtime spec: python metadata + pytree of device arrays."""
+
+    eval_fn: Callable
+    n: int
+    p: int
+    q: int
+    o2step: int
+    kind: str  # "obj" | "con" | "aug"
+    arrays: dict  # pytree: vidx, pidx, data, rows, hdup
+    hp: tuple  # (hp_i, hp_j) small static numpy slot-pair indexers
+
+
+class ExaModel:
+    """Frozen NLP with oracle methods:
+
+        obj(x), cons(x), grad(x), jac_coord(x), hess_coord(x, y, obj_weight),
+        jprod(x, v), jtprod(x, v), hprod(x, y, v, obj_weight),
+        jac_structure(), hess_structure()
+
+    plus meta (nvar, ncon, nnzj, nnzh, x0, bounds, y0, lcon, ucon, minimize).
+    """
+
+    def __init__(self, core: ExaCore, *, prod: bool = True):
+        self.dtype = jnp.dtype(core.dtype)
+        self.minimize = core.minimize
+        self.core = core
+
+        self.nvar = core.nvar
+        self.ncon = core.ncon
+        self.npar = core.npar
+
+        self.x0 = jnp.asarray(core.assemble_x0(), dtype=self.dtype)
+        self.lvar = jnp.asarray(core.assemble_lvar(), dtype=self.dtype)
+        self.uvar = jnp.asarray(core.assemble_uvar(), dtype=self.dtype)
+        self.y0 = jnp.asarray(core.assemble_y0(), dtype=self.dtype)
+        self.lcon = jnp.asarray(core.assemble_lcon(), dtype=self.dtype)
+        self.ucon = jnp.asarray(core.assemble_ucon(), dtype=self.dtype)
+        self.theta = jnp.asarray(core.assemble_theta0(), dtype=self.dtype)
+
+        # ---- collect runtime patterns -----------------------------------
+        self._obj_pats: list[_PatternRT] = []
+        self._con_pats: list[_PatternRT] = []
+
+        for o in core.objs:
+            rt = self._make_rt(o.pattern, "obj", rows=None)
+            if rt is not None:
+                self._obj_pats.append(rt)
+        for c in core.cons:
+            if c.pattern is not None:
+                rows = c.offset + np.arange(c.n, dtype=np.int64)
+                rt = self._make_rt(c.pattern, "con", rows=rows)
+                if rt is not None:
+                    self._con_pats.append(rt)
+        for a in core.conaugs:
+            rt = self._make_rt(a.pattern, "aug", rows=a.target_rows)
+            if rt is not None:
+                self._con_pats.append(rt)
+
+        # ---- static COO structures ----------------------------------------
+        jac_rows, jac_cols = [], []
+        for rt in self._con_pats:
+            if rt.p:
+                r = np.repeat(np.asarray(rt.arrays["rows"]), rt.p)
+                jac_rows.append(r)
+                jac_cols.append(np.asarray(rt.arrays["vidx"]).reshape(-1))
+        self._jac_rows = (
+            np.concatenate(jac_rows).astype(np.int32) if jac_rows else np.zeros(0, np.int32)
+        )
+        self._jac_cols = (
+            np.concatenate(jac_cols).astype(np.int32) if jac_cols else np.zeros(0, np.int32)
+        )
+        self.nnzj = int(self._jac_rows.shape[0])
+
+        hess_rows, hess_cols = [], []
+        for rt in self._obj_pats + self._con_pats:
+            if rt.o2step:
+                hr, hc = rt.arrays.pop("_hrows"), rt.arrays.pop("_hcols")
+                hess_rows.append(hr.reshape(-1))
+                hess_cols.append(hc.reshape(-1))
+            else:
+                rt.arrays.pop("_hrows", None)
+                rt.arrays.pop("_hcols", None)
+        self._hess_rows = (
+            np.concatenate(hess_rows).astype(np.int32) if hess_rows else np.zeros(0, np.int32)
+        )
+        self._hess_cols = (
+            np.concatenate(hess_cols).astype(np.int32) if hess_cols else np.zeros(0, np.int32)
+        )
+        self.nnzh = int(self._hess_rows.shape[0])
+
+        # ---- sorted accumulation plans (sort once at build) ----------------
+        cons_targets = (
+            np.concatenate([np.asarray(rt.arrays["rows"]) for rt in self._con_pats])
+            if self._con_pats
+            else np.zeros(0, np.int64)
+        )
+        cperm, cids = _seg_perm(cons_targets)
+        grad_targets = (
+            np.concatenate(
+                [np.asarray(rt.arrays["vidx"]).reshape(-1) for rt in self._obj_pats]
+            )
+            if self._obj_pats
+            else np.zeros(0, np.int64)
+        )
+        gperm, gids = _seg_perm(grad_targets)
+        self.nnzg = int(grad_targets.shape[0])
+
+        self._static = {
+            "obj": [rt.arrays for rt in self._obj_pats],
+            "con": [rt.arrays for rt in self._con_pats],
+            "cperm": jnp.asarray(cperm),
+            "cids": jnp.asarray(cids),
+            "gperm": jnp.asarray(gperm),
+            "gids": jnp.asarray(gids),
+        }
+        self._static = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, self._static
+        )
+
+        # ---- jitted oracle methods -----------------------------------------
+        self._jit_obj = jax.jit(self._obj_impl)
+        self._jit_cons = jax.jit(self._cons_impl)
+        self._jit_grad = jax.jit(self._grad_impl)
+        self._jit_jac = jax.jit(self._jac_impl)
+        self._jit_hess = jax.jit(self._hess_impl)
+        self._jit_jprod = jax.jit(self._jprod_impl)
+        self._jit_jtprod = jax.jit(self._jtprod_impl)
+        self._jit_hprod = jax.jit(self._hprod_impl)
+
+    # ------------------------------------------------------------------
+    def _make_rt(self, pat, kind: str, rows: Optional[np.ndarray]) -> Optional[_PatternRT]:
+        if pat.n == 0:
+            return None
+        data = tuple(
+            np.asarray(c, dtype=self.dtype)
+            if np.asarray(c).dtype.kind == "f"
+            else np.asarray(c, dtype=np.int32)
+            for c in pat.data_cols
+        )
+        hr, hc = pat.hess_coords()
+        arrays = {
+            "vidx": pat.vidx.astype(np.int32),
+            "pidx": pat.pidx.astype(np.int32),
+            "data": data,
+            "rows": rows.astype(np.int32) if rows is not None else np.zeros(0, np.int32),
+            "hdup": pat.hess_diag_dup().astype(self.dtype),
+            "_hrows": hr,
+            "_hcols": hc,
+        }
+        return _PatternRT(
+            eval_fn=pat.eval_fn,
+            n=pat.n,
+            p=pat.p,
+            q=pat.q,
+            o2step=pat.o2step,
+            kind=kind,
+            arrays=arrays,
+            hp=(pat.hpairs[:, 0].copy(), pat.hpairs[:, 1].copy()),
+        )
+
+    # ------------------------------------------------------------------
+    # batched per-pattern kernels (traced under jit; XLA fuses the gathers
+    # with the vmapped expression evaluation)
+    # ------------------------------------------------------------------
+    def _gather(self, arrs, x, theta):
+        xg = x[arrs["vidx"]]
+        thg = theta[arrs["pidx"]]
+        return xg, arrs["data"], thg
+
+    def _pat_vals(self, rt: _PatternRT, arrs, x, theta):
+        xg, d, thg = self._gather(arrs, x, theta)
+        return jax.vmap(rt.eval_fn)(xg, d, thg)
+
+    def _pat_grads(self, rt: _PatternRT, arrs, x, theta):
+        xg, d, thg = self._gather(arrs, x, theta)
+        return jax.vmap(jax.grad(rt.eval_fn, argnums=0))(xg, d, thg)
+
+    def _pat_hess(self, rt: _PatternRT, arrs, x, theta):
+        """(n, o2step) Hessian COO values (unscaled by multipliers)."""
+        xg, d, thg = self._gather(arrs, x, theta)
+        hfull = jax.vmap(jax.jacfwd(jax.grad(rt.eval_fn, argnums=0), argnums=0))(
+            xg, d, thg
+        )  # (n, p, p)
+        ent = hfull[:, rt.hp[0], rt.hp[1]]
+        return ent * arrs["hdup"]
+
+    # ------------------------------------------------------------------
+    # oracle implementations (closed over pattern eval fns; arrays via args)
+    # ------------------------------------------------------------------
+    def _obj_impl(self, st, x, theta):
+        total = jnp.zeros((), dtype=self.dtype)
+        for rt, arrs in zip(self._obj_pats, st["obj"]):
+            total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta))
+        return total
+
+    def _cons_impl(self, st, x, theta):
+        if not self._con_pats:
+            return jnp.zeros(self.ncon, dtype=self.dtype)
+        vals = jnp.concatenate(
+            [self._pat_vals(rt, arrs, x, theta) for rt, arrs in zip(self._con_pats, st["con"])]
+        )
+        return jax.ops.segment_sum(
+            vals[st["cperm"]],
+            st["cids"],
+            num_segments=self.ncon,
+            indices_are_sorted=True,
+        )
+
+    def _grad_impl(self, st, x, theta):
+        if not self._obj_pats:
+            return jnp.zeros(self.nvar, dtype=self.dtype)
+        entries = jnp.concatenate(
+            [
+                self._pat_grads(rt, arrs, x, theta).reshape(-1)
+                for rt, arrs in zip(self._obj_pats, st["obj"])
+            ]
+        )
+        return jax.ops.segment_sum(
+            entries[st["gperm"]],
+            st["gids"],
+            num_segments=self.nvar,
+            indices_are_sorted=True,
+        )
+
+    def _jac_impl(self, st, x, theta):
+        outs = [
+            self._pat_grads(rt, arrs, x, theta).reshape(-1)
+            for rt, arrs in zip(self._con_pats, st["con"])
+            if rt.p
+        ]
+        if not outs:
+            return jnp.zeros(0, dtype=self.dtype)
+        return jnp.concatenate(outs)
+
+    def _hess_impl(self, st, x, y, obj_weight, theta):
+        outs = []
+        for rt, arrs in zip(self._obj_pats, st["obj"]):
+            if rt.o2step:
+                outs.append((obj_weight * self._pat_hess(rt, arrs, x, theta)).reshape(-1))
+        for rt, arrs in zip(self._con_pats, st["con"]):
+            if rt.o2step:
+                mult = y[arrs["rows"]]
+                outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta)).reshape(-1))
+        if not outs:
+            return jnp.zeros(0, dtype=self.dtype)
+        return jnp.concatenate(outs)
+
+    def _jprod_impl(self, st, x, v, theta):
+        return jax.jvp(lambda xx: self._cons_impl(st, xx, theta), (x,), (v,))[1]
+
+    def _jtprod_impl(self, st, x, v, theta):
+        _, vjp = jax.vjp(lambda xx: self._cons_impl(st, xx, theta), x)
+        return vjp(v)[0]
+
+    def _hprod_impl(self, st, x, y, v, obj_weight, theta):
+        def lag(xx):
+            val = obj_weight * self._obj_impl(st, xx, theta)
+            if self._con_pats:
+                val = val + jnp.dot(y, self._cons_impl(st, xx, theta))
+            return val
+
+        return jax.jvp(jax.grad(lag), (x,), (v,))[1]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def _x(self, x):
+        return jnp.asarray(x, dtype=self.dtype)
+
+    def _th(self, theta):
+        return self.theta if theta is None else jnp.asarray(theta, dtype=self.dtype)
+
+    def obj(self, x, *, theta=None):
+        return self._jit_obj(self._static, self._x(x), self._th(theta))
+
+    def cons(self, x, *, theta=None):
+        return self._jit_cons(self._static, self._x(x), self._th(theta))
+
+    def grad(self, x, *, theta=None):
+        return self._jit_grad(self._static, self._x(x), self._th(theta))
+
+    def jac_coord(self, x, *, theta=None):
+        return self._jit_jac(self._static, self._x(x), self._th(theta))
+
+    def hess_coord(self, x, y=None, *, obj_weight=1.0, theta=None):
+        yv = jnp.zeros(self.ncon, dtype=self.dtype) if y is None else self._x(y)
+        return self._jit_hess(
+            self._static, self._x(x), yv, jnp.asarray(obj_weight, dtype=self.dtype), self._th(theta)
+        )
+
+    def jprod(self, x, v, *, theta=None):
+        return self._jit_jprod(self._static, self._x(x), self._x(v), self._th(theta))
+
+    def jtprod(self, x, v, *, theta=None):
+        return self._jit_jtprod(self._static, self._x(x), self._x(v), self._th(theta))
+
+    def hprod(self, x, y, v, *, obj_weight=1.0, theta=None):
+        yv = jnp.zeros(self.ncon, dtype=self.dtype) if y is None else self._x(y)
+        return self._jit_hprod(
+            self._static,
+            self._x(x),
+            yv,
+            self._x(v),
+            jnp.asarray(obj_weight, dtype=self.dtype),
+            self._th(theta),
+        )
+
+    def jac_structure(self):
+        """(rows, cols) int32 numpy arrays — fixed at build."""
+        return self._jac_rows, self._jac_cols
+
+    def hess_structure(self):
+        """(rows, cols) lower-triangle (rows >= cols) int32 numpy arrays."""
+        return self._hess_rows, self._hess_cols
+
+    def __repr__(self):
+        return (
+            f"ExaModel(nvar={self.nvar}, ncon={self.ncon}, nnzj={self.nnzj}, "
+            f"nnzh={self.nnzh}, dtype={self.dtype.name}, "
+            f"minimize={self.minimize})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# parameter mutation + result accessors
+# (parity: set_parameter!/solution/multipliers, /root/reference/src/nlp.jl:785-827,1558-1701)
+# ---------------------------------------------------------------------------
+
+
+def set_parameter(model: ExaModel, par: Parameter, values) -> None:
+    vals = jnp.asarray(values, dtype=model.dtype).reshape(-1)
+    if vals.shape[0] != par.size:
+        raise ValueError(f"expected {par.size} values, got {vals.shape[0]}")
+    model.theta = model.theta.at[par.offset : par.offset + par.size].set(vals)
+
+
+def solution(result, var: Variable):
+    """Slice a solver result's primal vector by a Variable handle."""
+    x = result.x if hasattr(result, "x") else result
+    out = jnp.asarray(x)[var.offset : var.offset + var.size]
+    return out.reshape(var.shape) if var.shape else out[0]
+
+
+def multipliers(result, con) -> jnp.ndarray:
+    y = result.y if hasattr(result, "y") else result
+    out = jnp.asarray(y)[con.offset : con.offset + con.n]
+    return out.reshape(con.shape) if con.shape else out
+
+
+def multipliers_L(result, var: Variable):
+    zl = result.zl
+    out = jnp.asarray(zl)[var.offset : var.offset + var.size]
+    return out.reshape(var.shape) if var.shape else out[0]
+
+
+def multipliers_U(result, var: Variable):
+    zu = result.zu
+    out = jnp.asarray(zu)[var.offset : var.offset + var.size]
+    return out.reshape(var.shape) if var.shape else out[0]

@@ -1,0 +1,566 @@
+"""Filter line-search interior-point solver (Wächter–Biegler) in JAX.
+
+The reference stack stops at the NLPModels oracle API and hands solving to
+external Ipopt/MadNLP (/root/reference/src/nlp.jl:460-463,
+/root/reference/docs/src/index.md:60-63); our build ships the solver
+on-device. Algorithm follows the Ipopt paper (Wächter & Biegler, Math.
+Prog. 106, 2006): slack reformulation, primal-dual barrier Newton steps
+with inertia(PD)-corrected condensed KKT solves (kkt.py), fraction-to-
+boundary, filter line search with second-order correction, monotone
+Fiacco-McCormick barrier reduction, and a penalty-based feasibility
+restoration fallback.
+
+All heavy computation (oracle callbacks, KKT assembly+factorization, trial
+point evaluation) is jitted; the outer iteration is a host loop in this
+round (trial counts are data-dependent), with all state living on device.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kkt import CGKKT, DenseKKT, build_structure
+
+
+@dataclass
+class IPMOptions:
+    tol: float = 1e-8
+    max_iter: int = 3000
+    max_wall_time: float = 1e20
+    mu_init: float = 1e-1
+    mu_min_factor: float = 0.1  # μ floor = mu_min_factor * tol
+    kappa_mu: float = 0.2
+    theta_mu: float = 1.5
+    kappa_eps: float = 10.0
+    tau_min: float = 0.99
+    s_max: float = 100.0
+    # bound handling
+    kappa_1: float = 1e-2
+    kappa_2: float = 1e-2
+    bound_relax_factor: float = 1e-8
+    bound_push: float = 1e-2
+    # filter / line search
+    gamma_theta: float = 1e-5
+    gamma_phi: float = 1e-8
+    delta: float = 1.0
+    s_theta: float = 1.1
+    s_phi: float = 2.3
+    eta_phi: float = 1e-8
+    kappa_soc: float = 0.99
+    max_soc: int = 4
+    alpha_min_frac: float = 0.05
+    max_ls: int = 30
+    # regularization (inertia-free PD correction)
+    delta_w0: float = 1e-4
+    delta_w_min: float = 1e-20
+    delta_w_max: float = 1e40
+    kappa_w_plus: float = 8.0
+    kappa_w_plus_init: float = 100.0
+    kappa_w_minus: float = 1.0 / 3.0
+    delta_c_bar: float = 1e-8
+    kappa_c: float = 0.25
+    # dual safeguard
+    kappa_sigma: float = 1e10
+    # linear solver: "dense" | "cg" | None (auto by size)
+    linear_solver: Optional[str] = None
+    dense_limit: int = 6000
+    verbose: bool = False
+
+
+@dataclass
+class IPMResult:
+    x: Any = None
+    y: Any = None
+    zl: Any = None
+    zu: Any = None
+    status: str = "unknown"
+    objective: float = float("nan")
+    iterations: int = 0
+    primal_infeasibility: float = float("nan")
+    dual_infeasibility: float = float("nan")
+    complementarity: float = float("nan")
+    wall_time: float = 0.0
+    mu: float = float("nan")
+
+    @property
+    def success(self) -> bool:
+        return self.status == "first_order"
+
+
+_BIG = 1e20
+
+
+class _Funcs:
+    """Jitted barrier-problem callbacks over the slacked primal v = (x, s)."""
+
+    def __init__(self, model, structure, dtype):
+        self.model = model
+        self.s = structure
+        self.dtype = dtype
+        nx, ns, m = structure.nx, structure.ns, structure.m
+
+        lcon = np.asarray(model.lcon, dtype=np.float64)
+        ucon = np.asarray(model.ucon, dtype=np.float64)
+        is_eq = lcon == ucon
+        self.eq_rhs = jnp.asarray(np.where(is_eq, lcon, 0.0), dtype=dtype)
+        self.is_eq = jnp.asarray(is_eq)
+        self.ineq_rows = jnp.asarray(structure.ineq_rows)
+
+        lv = np.concatenate([np.asarray(model.lvar, dtype=np.float64),
+                             lcon[structure.ineq_rows]])
+        uv = np.concatenate([np.asarray(model.uvar, dtype=np.float64),
+                             ucon[structure.ineq_rows]])
+        self.lraw = lv.copy()
+        self.uraw = uv.copy()
+        self.has_l = jnp.asarray(lv > -_BIG)
+        self.has_u = jnp.asarray(uv < _BIG)
+        self.l = jnp.asarray(np.where(lv > -_BIG, lv, 0.0), dtype=dtype)
+        self.u = jnp.asarray(np.where(uv < _BIG, uv, 0.0), dtype=dtype)
+        self.obj_sign = 1.0 if model.minimize else -1.0
+
+        st = model._static
+
+        def split(v):
+            return v[:nx], v[nx:]
+
+        def resid(v, theta_p):
+            x, s = split(v)
+            c = model._cons_impl(st, x, theta_p)
+            r = c - self.eq_rhs
+            if ns:
+                r = r.at[self.ineq_rows].add(-s)
+            return r
+
+        def objv(v, theta_p):
+            return self.obj_sign * model._obj_impl(st, v[:nx], theta_p)
+
+        def gradv(v, theta_p):
+            g = self.obj_sign * model._grad_impl(st, v[:nx], theta_p)
+            return jnp.concatenate([g, jnp.zeros(ns, dtype=dtype)])
+
+        def barrier(v, mu, theta_p):
+            dl = jnp.where(self.has_l, v - self.l, 1.0)
+            du = jnp.where(self.has_u, self.u - v, 1.0)
+            return objv(v, theta_p) - mu * (
+                jnp.sum(jnp.where(self.has_l, jnp.log(dl), 0.0))
+                + jnp.sum(jnp.where(self.has_u, jnp.log(du), 0.0))
+            )
+
+        def theta(v, theta_p):
+            r = resid(v, theta_p)
+            return jnp.sum(jnp.abs(r))
+
+        def evals(v, y, zl, zu, mu, theta_p):
+            """Everything the outer loop needs at the current point."""
+            x, _ = split(v)
+            f = objv(v, theta_p)
+            g = gradv(v, theta_p)
+            r = resid(v, theta_p)
+            jvals = self.obj_sign_jac * model._jac_impl(st, x, theta_p)
+            hvals = self.obj_sign * model._hess_impl(
+                st, x, self.obj_sign * y, jnp.asarray(1.0, dtype), theta_p
+            )
+            dl = jnp.where(self.has_l, v - self.l, 1.0)
+            du = jnp.where(self.has_u, self.u - v, 1.0)
+            # A^T y over v
+            aty = jnp.zeros(nx + ns, dtype=dtype)
+            aty = aty.at[:nx].set(model._jtprod_impl(st, x, y, theta_p))
+            if ns:
+                aty = aty.at[nx + jnp.arange(ns)].add(-y[self.ineq_rows])
+            r_d = g + aty - jnp.where(self.has_l, zl, 0.0) + jnp.where(self.has_u, zu, 0.0)
+            comp_l = jnp.where(self.has_l, dl * zl - mu, 0.0)
+            comp_u = jnp.where(self.has_u, du * zu - mu, 0.0)
+            sigma = (
+                jnp.where(self.has_l, zl / dl, 0.0)
+                + jnp.where(self.has_u, zu / du, 0.0)
+            )
+            r1 = -(g + aty) + mu * (
+                jnp.where(self.has_l, 1.0 / dl, 0.0)
+                - jnp.where(self.has_u, 1.0 / du, 0.0)
+            )
+            return dict(
+                f=f, g=g, r=r, jvals=jvals, hvals=hvals, dl=dl, du=du,
+                r_d=r_d, comp_l=comp_l, comp_u=comp_u, sigma=sigma, r1=r1,
+                theta=jnp.sum(jnp.abs(r)),
+                phi=f - mu * (
+                    jnp.sum(jnp.where(self.has_l, jnp.log(dl), 0.0))
+                    + jnp.sum(jnp.where(self.has_u, jnp.log(du), 0.0))
+                ),
+            )
+
+        # jac sign: constraints are unaffected by minimize/maximize
+        self.obj_sign_jac = 1.0
+
+        self.resid = jax.jit(resid)
+        self.objv = jax.jit(objv)
+        self.barrier = jax.jit(barrier)
+        self.theta = jax.jit(theta)
+        self.evals = jax.jit(evals)
+
+        def trial_eval(v, mu, theta_p):
+            return barrier(v, mu, theta_p), theta(v, theta_p)
+
+        self.trial_eval = jax.jit(trial_eval)
+
+        def alpha_fraction(v, dv, zl, dzl, zu, dzu, tau):
+            """Fraction-to-boundary step sizes (primal, dual)."""
+            dl = jnp.where(self.has_l, v - self.l, 1.0)
+            du = jnp.where(self.has_u, self.u - v, 1.0)
+            a_l = jnp.where(self.has_l & (dv < 0), -tau * dl / jnp.where(dv < 0, dv, -1.0), 1.0)
+            a_u = jnp.where(self.has_u & (dv > 0), tau * du / jnp.where(dv > 0, dv, 1.0), 1.0)
+            alpha_p = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l, initial=1.0), jnp.min(a_u, initial=1.0)))
+            a_zl = jnp.where(self.has_l & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), 1.0)
+            a_zu = jnp.where(self.has_u & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), 1.0)
+            alpha_d = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=1.0), jnp.min(a_zu, initial=1.0)))
+            return alpha_p, alpha_d
+
+        self.alpha_fraction = jax.jit(alpha_fraction)
+
+
+def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs) -> IPMResult:
+    """Solve an ExaModel-like NLP oracle to first-order stationarity.
+
+    Returns IPMResult with primal x, equality multipliers y (in the
+    original row order/sign convention: ∇f + Jᵀy - zl + zu = 0 for
+    minimization), and bound multipliers zl/zu over x.
+    """
+    opts = options or IPMOptions()
+    for k, v in kwargs.items():
+        if not hasattr(opts, k):
+            raise TypeError(f"unknown IPM option {k!r}")
+        setattr(opts, k, v)
+
+    t0 = time.time()
+    dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
+    structure = build_structure(model)
+    nx, ns, m = structure.nx, structure.ns, structure.m
+    n = nx + ns
+
+    solver_kind = opts.linear_solver or ("dense" if n + m <= opts.dense_limit else "cg")
+    kkt = DenseKKT(structure, dtype) if solver_kind == "dense" else CGKKT(structure, dtype)
+
+    F = _Funcs(model, structure, dtype)
+    theta_p = model.theta if theta is None else jnp.asarray(theta, dtype=dtype)
+
+    # ---- bound relaxation (Ipopt bound_relax_factor) ---------------------
+    lraw, uraw = F.lraw.copy(), F.uraw.copy()
+    relax = opts.bound_relax_factor
+    l_np = np.where(lraw > -_BIG, lraw - relax * np.maximum(1.0, np.abs(lraw)), lraw)
+    u_np = np.where(uraw < _BIG, uraw + relax * np.maximum(1.0, np.abs(uraw)), uraw)
+    F.l = jnp.asarray(np.where(l_np > -_BIG, l_np, 0.0), dtype=dtype)
+    F.u = jnp.asarray(np.where(u_np < _BIG, u_np, 0.0), dtype=dtype)
+
+    has_l = np.asarray(F.has_l)
+    has_u = np.asarray(F.has_u)
+
+    # ---- initial point ----------------------------------------------------
+    x0 = np.asarray(model.x0, dtype=np.float64)
+    c0 = np.asarray(model.cons(model.x0, theta=theta_p))
+    s0 = c0[structure.ineq_rows] if ns else np.zeros(0)
+    v0 = np.concatenate([x0, s0])
+    # push into the interior (Ipopt κ1/κ2)
+    pl = np.where(has_l, l_np + np.maximum(opts.kappa_1 * np.maximum(1.0, np.abs(l_np)),
+                                           np.where(has_u, opts.kappa_2 * (u_np - l_np), 0.0) * 0 + 0), -np.inf)
+    v = v0.copy()
+    for i in range(n):
+        li, ui = l_np[i], u_np[i]
+        if has_l[i] and has_u[i]:
+            p = min(opts.kappa_1 * max(1.0, abs(li)), opts.kappa_2 * (ui - li))
+            v[i] = min(max(v[i], li + p), ui - p)
+        elif has_l[i]:
+            v[i] = max(v[i], li + opts.kappa_1 * max(1.0, abs(li)))
+        elif has_u[i]:
+            v[i] = min(v[i], ui - opts.kappa_1 * max(1.0, abs(ui)))
+
+    v = jnp.asarray(v, dtype=dtype)
+    y = jnp.zeros(m, dtype=dtype)
+    zl = jnp.where(F.has_l, 1.0, 0.0).astype(dtype)
+    zu = jnp.where(F.has_u, 1.0, 0.0).astype(dtype)
+
+    mu = opts.mu_init
+    tau = max(opts.tau_min, 1.0 - mu)
+    mu_floor = opts.mu_min_factor * opts.tol
+
+    filt: list[tuple[float, float]] = []
+    theta_0 = float(F.theta(v, theta_p))
+    theta_max = 1e4 * max(1.0, theta_0)
+    theta_min = 1e-4 * max(1.0, theta_0)
+    filt.append((theta_max, -np.inf))
+
+    delta_w_last = 0.0
+    status = "max_iter"
+    it = 0
+    n_bound = int(has_l.sum() + has_u.sum())
+
+    def kkt_error(ev, y, zl, zu, mu):
+        sd = max(opts.s_max,
+                 (float(jnp.sum(jnp.abs(y))) + float(jnp.sum(jnp.abs(zl))) + float(jnp.sum(jnp.abs(zu))))
+                 / max(1, m + n_bound)) / opts.s_max
+        sc = max(opts.s_max,
+                 (float(jnp.sum(jnp.abs(zl))) + float(jnp.sum(jnp.abs(zu)))) / max(1, n_bound)) / opts.s_max
+        dual_inf = float(jnp.max(jnp.abs(ev["r_d"]), initial=0.0))
+        prim_inf = float(jnp.max(jnp.abs(ev["r"]), initial=0.0))
+        comp = max(float(jnp.max(jnp.abs(ev["comp_l"]), initial=0.0)),
+                   float(jnp.max(jnp.abs(ev["comp_u"]), initial=0.0)))
+        return max(dual_inf / sd, prim_inf, comp / sc), dual_inf, prim_inf, comp
+
+    soc_count_total = 0
+    for it in range(opts.max_iter):
+        if time.time() - t0 > opts.max_wall_time:
+            status = "time_limit"
+            break
+        ev = F.evals(v, y, zl, zu, mu, theta_p)
+        if not bool(jnp.isfinite(ev["f"])) or not bool(jnp.isfinite(ev["theta"])):
+            status = "diverged"
+            break
+
+        # termination at tol (μ-independent error)
+        ev0 = F.evals(v, y, zl, zu, 0.0, theta_p)
+        E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu, 0.0)
+        if opts.verbose:
+            print(f"it {it:4d}  f {float(ev['f']):+.8e}  θ {float(ev['theta']):.2e} "
+                  f"E0 {E0:.2e}  μ {mu:.1e}  δw {delta_w_last:.1e}")
+        if E0 <= opts.tol:
+            status = "first_order"
+            break
+
+        # barrier update (may loop several times: Fiacco-McCormick)
+        E_mu, _, _, _ = kkt_error(ev, y, zl, zu, mu)
+        while mu > mu_floor and E_mu <= opts.kappa_eps * mu:
+            mu = max(mu_floor, min(opts.kappa_mu * mu, mu ** opts.theta_mu))
+            tau = max(opts.tau_min, 1.0 - mu)
+            filt = [(theta_max, -np.inf)]
+            ev = F.evals(v, y, zl, zu, mu, theta_p)
+            E_mu, _, _, _ = kkt_error(ev, y, zl, zu, mu)
+
+        # ---- KKT solve with PD (inertia-free) correction ------------------
+        dc = opts.delta_c_bar * max(mu ** opts.kappa_c, 1e-10)
+        delta_w = 0.0
+        trial_w = (opts.delta_w0 if delta_w_last == 0.0
+                   else max(opts.delta_w_min, opts.kappa_w_minus * delta_w_last))
+        dw_vec = jnp.zeros(n, dtype=dtype)
+        for _attempt in range(60):
+            dv, dy, pd_ok = kkt.solve(
+                ev["hvals"], ev["jvals"], ev["sigma"],
+                jnp.full(n, delta_w, dtype=dtype), jnp.asarray(dc, dtype=dtype),
+                ev["r1"], -ev["r"],
+            )
+            if bool(pd_ok) and bool(jnp.isfinite(dv).all()):
+                break
+            delta_w = trial_w if delta_w == 0.0 else delta_w * opts.kappa_w_plus
+            if delta_w > opts.delta_w_max:
+                status = "kkt_failure"
+                break
+        else:
+            status = "kkt_failure"
+        if status == "kkt_failure":
+            break
+        delta_w_last = delta_w if delta_w > 0 else delta_w_last
+
+        # dual direction for bounds
+        dl, du = ev["dl"], ev["du"]
+        dzl = jnp.where(F.has_l, mu / dl - zl - zl * dv / dl, 0.0)
+        dzu = jnp.where(F.has_u, mu / du - zu + zu * dv / du, 0.0)
+
+        alpha_max, alpha_z = F.alpha_fraction(v, dv, zl, dzl, zu, dzu, tau)
+        alpha_max = float(alpha_max)
+        alpha_z = float(alpha_z)
+
+        # ---- filter line search ------------------------------------------
+        theta_cur = float(ev["theta"])
+        phi_cur = float(ev["phi"])
+        gphi_dv = float(jnp.vdot(ev["g"], dv)
+                        - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
+                        + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0)))
+
+        # minimum step size (Ipopt eq. 23 simplified)
+        if gphi_dv < 0 and theta_cur <= theta_min:
+            alpha_min = opts.alpha_min_frac * min(
+                opts.gamma_theta,
+                opts.gamma_phi * theta_cur / max(-gphi_dv, 1e-300),
+                opts.delta * theta_cur ** opts.s_theta / max((-gphi_dv) ** opts.s_phi, 1e-300),
+            )
+        elif gphi_dv < 0:
+            alpha_min = opts.alpha_min_frac * min(
+                opts.gamma_theta,
+                opts.gamma_phi * theta_cur / max(-gphi_dv, 1e-300),
+            )
+        else:
+            alpha_min = opts.alpha_min_frac * opts.gamma_theta
+        alpha_min = max(alpha_min, 1e-16)
+
+        accepted = False
+        f_type_step = False
+        alpha = alpha_max
+        soc_applied = False
+        for _ls in range(opts.max_ls):
+            v_t = v + alpha * dv
+            phi_t, theta_t = F.trial_eval(v_t, mu, theta_p)
+            phi_t, theta_t = float(phi_t), float(theta_t)
+
+            acceptable_filter = all(
+                theta_t <= (1 - opts.gamma_theta) * th or phi_t <= ph - opts.gamma_phi * th
+                for th, ph in filt
+            ) and theta_t < theta_max
+
+            switching = (
+                gphi_dv < 0
+                and alpha * (-gphi_dv) ** opts.s_phi > opts.delta * theta_cur ** opts.s_theta
+                and theta_cur <= theta_min
+            )
+            if switching:
+                armijo = phi_t <= phi_cur + opts.eta_phi * alpha * gphi_dv
+                if acceptable_filter and armijo:
+                    accepted, f_type_step = True, True
+                    break
+            else:
+                suff = (theta_t <= (1 - opts.gamma_theta) * theta_cur
+                        or phi_t <= phi_cur - opts.gamma_phi * theta_cur)
+                if acceptable_filter and suff:
+                    accepted = True
+                    break
+
+            # second-order correction on the first rejected full-ish step
+            if (not soc_applied and _ls == 0 and alpha >= alpha_max * 0.999
+                    and theta_t >= theta_cur and m > 0):
+                soc_applied = True
+                r_soc = ev["r"]
+                v_soc = v_t
+                for _soc in range(opts.max_soc):
+                    r_new = F.resid(v_soc, theta_p)
+                    r_soc = alpha * r_soc + r_new
+                    dv_c, dy_c, ok_c = kkt.solve(
+                        ev["hvals"], ev["jvals"], ev["sigma"],
+                        jnp.full(n, delta_w, dtype=dtype), jnp.asarray(dc, dtype=dtype),
+                        ev["r1"], -r_soc,
+                    )
+                    if not bool(ok_c):
+                        break
+                    a_soc, _ = F.alpha_fraction(v, dv_c, zl, dzl, zu, dzu, tau)
+                    v_try = v + float(a_soc) * dv_c
+                    phi_s, theta_s = F.trial_eval(v_try, mu, theta_p)
+                    phi_s, theta_s = float(phi_s), float(theta_s)
+                    ok_filter = all(
+                        theta_s <= (1 - opts.gamma_theta) * th or phi_s <= ph - opts.gamma_phi * th
+                        for th, ph in filt
+                    ) and theta_s < theta_max
+                    suff_s = (theta_s <= (1 - opts.gamma_theta) * theta_cur
+                              or phi_s <= phi_cur - opts.gamma_phi * theta_cur)
+                    if ok_filter and suff_s:
+                        v_t, dv = v_try, dv_c
+                        alpha = float(a_soc)
+                        phi_t, theta_t = phi_s, theta_s
+                        accepted = True
+                        soc_count_total += 1
+                        break
+                    if theta_s > opts.kappa_soc * float(jnp.sum(jnp.abs(r_soc))):
+                        break
+                    v_soc = v_try
+                if accepted:
+                    break
+
+            alpha *= 0.5
+            if alpha < alpha_min:
+                break
+
+        if not accepted:
+            # feasibility restoration: penalty Gauss-Newton on θ with a
+            # proximal term, warm-started at current point
+            v_r, ok = _restoration(F, kkt, v, mu, theta_p, opts, dtype, n)
+            if not ok:
+                status = "restoration_failure"
+                break
+            v = v_r
+            # reset duals conservatively
+            dl = jnp.where(F.has_l, v - F.l, 1.0)
+            du = jnp.where(F.has_u, F.u - v, 1.0)
+            zl = jnp.where(F.has_l, jnp.clip(mu / dl, 1e-8, 1e8), 0.0)
+            zu = jnp.where(F.has_u, jnp.clip(mu / du, 1e-8, 1e8), 0.0)
+            filt.append(((1 - opts.gamma_theta) * theta_cur,
+                         phi_cur - opts.gamma_phi * theta_cur))
+            continue
+
+        if not f_type_step:
+            filt.append(((1 - opts.gamma_theta) * theta_cur,
+                         phi_cur - opts.gamma_phi * theta_cur))
+
+        v = v + alpha * dv
+        y = y + alpha * dy
+        zl = zl + alpha_z * dzl
+        zu = zu + alpha_z * dzu
+
+        # dual safeguard (Ipopt eq. 16)
+        dl = jnp.where(F.has_l, v - F.l, 1.0)
+        du = jnp.where(F.has_u, F.u - v, 1.0)
+        zl = jnp.where(F.has_l,
+                       jnp.clip(zl, mu / (opts.kappa_sigma * dl), opts.kappa_sigma * mu / dl),
+                       0.0)
+        zu = jnp.where(F.has_u,
+                       jnp.clip(zu, mu / (opts.kappa_sigma * du), opts.kappa_sigma * mu / du),
+                       0.0)
+
+    ev0 = F.evals(v, y, zl, zu, 0.0, theta_p)
+    E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu, 0.0)
+    if status not in ("first_order",) and E0 <= opts.tol:
+        status = "first_order"
+
+    sign = 1.0 if model.minimize else -1.0
+    return IPMResult(
+        x=v[:nx],
+        y=sign * y,
+        zl=sign * zl[:nx],
+        zu=sign * zu[:nx],
+        status=status,
+        objective=float(model.obj(v[:nx], theta=theta_p)),
+        iterations=it + 1,
+        primal_infeasibility=prim_inf,
+        dual_infeasibility=dual_inf,
+        complementarity=comp,
+        wall_time=time.time() - t0,
+        mu=mu,
+    )
+
+
+def _restoration(F, kkt, v, mu, theta_p, opts, dtype, n):
+    """Minimal feasibility restoration: damped Gauss-Newton on ½‖r(v)‖²
+    keeping iterates interior, reusing the KKT backend with J as the only
+    curvature (W=0). Returns (v_new, success)."""
+    v_r = v
+    theta_prev = float(F.theta(v_r, theta_p))
+    for _ in range(30):
+        r = F.resid(v_r, theta_p)
+        th = float(jnp.sum(jnp.abs(r)))
+        if th <= max(1e-12, 1e-4 * theta_prev):
+            return v_r, True
+        x = v_r[: F.s.nx]
+        jvals = F.model._jac_impl(F.model._static, x, theta_p)
+        zero_h = jnp.zeros(len(F.s.hrows), dtype=dtype)
+        sigma = jnp.full(n, 1.0, dtype=dtype)  # proximal weight
+        dv, _dy, ok = kkt.solve(
+            zero_h, jvals, sigma, jnp.zeros(n, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype), jnp.zeros(n, dtype=dtype), -r
+        )
+        if not bool(ok) or not bool(jnp.isfinite(dv).all()):
+            return v_r, False
+        # fraction-to-boundary for primal only
+        zl0 = jnp.zeros(n, dtype=dtype)
+        a, _ = F.alpha_fraction(v_r, dv, zl0, zl0, zl0, zl0, 0.99)
+        a = float(a)
+        improved = False
+        for _ls in range(20):
+            v_t = v_r + a * dv
+            th_t = float(F.theta(v_t, theta_p))
+            if th_t < th * (1 - 1e-4 * a):
+                v_r, improved = v_t, True
+                break
+            a *= 0.5
+        if not improved:
+            return v_r, th < theta_prev * 0.9
+    return v_r, True
