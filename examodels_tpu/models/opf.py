@@ -203,10 +203,12 @@ def synthetic_case(nbus: int, *, seed: int = 7) -> OPFData:
     (≈1.4 branches/bus), ~20% generator buses — realistic AC-OPF pattern
     sizes at arbitrary scale for zero-egress benchmarking."""
     rng = np.random.default_rng(seed)
-    nbr_extra = int(0.4 * nbus)
-    f = np.concatenate([np.arange(nbus), rng.integers(0, nbus, nbr_extra)])
-    t = np.concatenate([(np.arange(nbus) + 1) % nbus,
-                        rng.integers(0, nbus, nbr_extra)])
+    # ring backbone + nearest-neighbour chords: well-connected, low diameter
+    nbr_extra = int(0.6 * nbus)
+    cf = rng.integers(0, nbus, nbr_extra)
+    ct = (cf + rng.integers(2, max(3, nbus // 10), nbr_extra)) % nbus
+    f = np.concatenate([np.arange(nbus), cf])
+    t = np.concatenate([(np.arange(nbus) + 1) % nbus, ct])
     keep = f != t
     f, t = f[keep], t[keep]
     nbr = len(f)
@@ -215,19 +217,20 @@ def synthetic_case(nbus: int, *, seed: int = 7) -> OPFData:
     bus[:, 0] = np.arange(1, nbus + 1)
     bus[:, 1] = 1
     bus[0, 1] = 3  # ref
-    bus[:, 2] = rng.uniform(20, 80, nbus)  # pd MW
-    bus[:, 3] = rng.uniform(5, 25, nbus)  # qd
+    bus[:, 2] = rng.uniform(10, 40, nbus)  # pd MW
+    bus[:, 3] = rng.uniform(2, 12, nbus)  # qd
     bus[:, 11] = 1.06
     bus[:, 12] = 0.94
 
+    # a generator every ~5 buses keeps power local (short transport paths)
     ngen = max(1, nbus // 5)
-    gbus = np.concatenate([[1], rng.choice(np.arange(2, nbus + 1), ngen - 1, replace=False)])
+    gbus = 1 + (np.arange(ngen) * nbus) // ngen
     gen = np.zeros((ngen, 10))
     gen[:, 0] = gbus
-    gen[:, 3] = 150.0  # qmax
-    gen[:, 4] = -150.0
+    gen[:, 3] = 100.0  # qmax
+    gen[:, 4] = -100.0
     gen[:, 7] = 1
-    gen[:, 8] = rng.uniform(200, 600, ngen) * (nbus / ngen) / 4  # pmax
+    gen[:, 8] = rng.uniform(100, 300, ngen) * (nbus / ngen) / 2  # pmax
     gen[:, 9] = 0.0
     cost = np.zeros((ngen, 7))
     cost[:, 0] = 2
@@ -238,10 +241,10 @@ def synthetic_case(nbus: int, *, seed: int = 7) -> OPFData:
     branch = np.zeros((nbr, 13))
     branch[:, 0] = f + 1
     branch[:, 1] = t + 1
-    branch[:, 2] = rng.uniform(0.005, 0.05, nbr)  # r
-    branch[:, 3] = rng.uniform(0.05, 0.3, nbr)  # x
-    branch[:, 4] = rng.uniform(0.0, 0.05, nbr)  # b
-    branch[:, 5] = rng.uniform(150, 400, nbr)  # rateA
+    branch[:, 2] = rng.uniform(0.002, 0.01, nbr)  # r
+    branch[:, 3] = rng.uniform(0.01, 0.06, nbr)  # x
+    branch[:, 4] = rng.uniform(0.0, 0.04, nbr)  # b
+    branch[:, 5] = rng.uniform(250, 500, nbr)  # rateA
     branch[:, 10] = 1
     branch[:, 11] = -30.0
     branch[:, 12] = 30.0

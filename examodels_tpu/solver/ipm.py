@@ -4,11 +4,15 @@ The reference stack stops at the NLPModels oracle API and hands solving to
 external Ipopt/MadNLP (/root/reference/src/nlp.jl:460-463,
 /root/reference/docs/src/index.md:60-63); our build ships the solver
 on-device. Algorithm follows the Ipopt paper (Wächter & Biegler, Math.
-Prog. 106, 2006): slack reformulation, primal-dual barrier Newton steps
-with inertia(PD)-corrected condensed KKT solves (kkt.py), fraction-to-
-boundary, filter line search with second-order correction, monotone
-Fiacco-McCormick barrier reduction, and a penalty-based feasibility
-restoration fallback.
+Prog. 106, 2006): slack reformulation, gradient-based problem scaling,
+primal-dual barrier Newton steps with condensed KKT solves (kkt.py),
+inertia-free curvature regularization (the condensed AᵀA/δc term masks
+null-space indefiniteness from Cholesky, so PD of the step is enforced by
+a direct curvature test dᵀ(W+Σ+δw)d > 0 — the MadNLP "inertia-free" rule),
+fraction-to-boundary, filter line search with second-order correction,
+monotone Fiacco-McCormick barrier reduction, least-squares dual
+initialization, acceptable-tolerance termination, and a penalty Gauss-
+Newton feasibility-restoration fallback.
 
 All heavy computation (oracle callbacks, KKT assembly+factorization, trial
 point evaluation) is jitted; the outer iteration is a host loop in this
@@ -19,7 +23,7 @@ from __future__ import annotations
 
 import math
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
@@ -32,6 +36,8 @@ from .kkt import CGKKT, DenseKKT, build_structure
 @dataclass
 class IPMOptions:
     tol: float = 1e-8
+    acceptable_tol: float = 1e-6
+    acceptable_iter: int = 15
     max_iter: int = 3000
     max_wall_time: float = 1e20
     mu_init: float = 1e-1
@@ -41,11 +47,13 @@ class IPMOptions:
     kappa_eps: float = 10.0
     tau_min: float = 0.99
     s_max: float = 100.0
+    # scaling (Ipopt gradient-based)
+    scaling: bool = True
+    scaling_max_gradient: float = 100.0
     # bound handling
     kappa_1: float = 1e-2
     kappa_2: float = 1e-2
     bound_relax_factor: float = 1e-8
-    bound_push: float = 1e-2
     # filter / line search
     gamma_theta: float = 1e-5
     gamma_phi: float = 1e-8
@@ -62,12 +70,13 @@ class IPMOptions:
     delta_w_min: float = 1e-20
     delta_w_max: float = 1e40
     kappa_w_plus: float = 8.0
-    kappa_w_plus_init: float = 100.0
     kappa_w_minus: float = 1.0 / 3.0
     delta_c_bar: float = 1e-8
     kappa_c: float = 0.25
-    # dual safeguard
+    curvature_kappa: float = 1e-11  # dᵀKd ≥ κ·dᵀd requirement
+    # dual safeguard / init
     kappa_sigma: float = 1e10
+    y_init_max: float = 1e3
     # linear solver: "dense" | "cg" | None (auto by size)
     linear_solver: Optional[str] = None
     dense_limit: int = 6000
@@ -91,24 +100,52 @@ class IPMResult:
 
     @property
     def success(self) -> bool:
-        return self.status == "first_order"
+        return self.status in ("first_order", "acceptable")
 
 
 _BIG = 1e20
 
 
 class _Funcs:
-    """Jitted barrier-problem callbacks over the slacked primal v = (x, s)."""
+    """Jitted barrier-problem callbacks over the slacked primal v = (x, s),
+    with Ipopt gradient-based scaling baked in: the IPM sees the scaled
+    problem  min σf·f(x)  s.t.  S·c(x) ∈ [S·lcon, S·ucon]."""
 
-    def __init__(self, model, structure, dtype):
+    def __init__(self, model, structure, dtype, opts: IPMOptions):
         self.model = model
         self.s = structure
         self.dtype = dtype
         nx, ns, m = structure.nx, structure.ns, structure.m
+        self.obj_sign = 1.0 if model.minimize else -1.0
+        st = model._static
 
-        lcon = np.asarray(model.lcon, dtype=np.float64)
-        ucon = np.asarray(model.ucon, dtype=np.float64)
-        is_eq = lcon == ucon
+        # ---- gradient-based scaling at x0 --------------------------------
+        x0 = jnp.asarray(model.x0, dtype=dtype)
+        th0 = model.theta
+        if opts.scaling:
+            g0 = np.asarray(model._grad_impl(st, x0, th0))
+            gm = float(np.max(np.abs(g0), initial=0.0))
+            sigma_f = min(1.0, opts.scaling_max_gradient / max(gm, 1e-8))
+            jv0 = np.abs(np.asarray(model._jac_impl(st, x0, th0)))
+            jr, _ = model.jac_structure()
+            rowmax = np.zeros(m)
+            if len(jv0):
+                np.maximum.at(rowmax, np.asarray(jr), jv0)
+            con_scale = np.minimum(
+                1.0, opts.scaling_max_gradient / np.maximum(rowmax, 1e-8)
+            )
+        else:
+            sigma_f = 1.0
+            con_scale = np.ones(m)
+        self.sigma_f = float(sigma_f)
+        self.con_scale_np = con_scale
+        self.con_scale = jnp.asarray(con_scale, dtype=dtype)
+        jr, _ = model.jac_structure()
+        self.jcoo_scale = jnp.asarray(con_scale[np.asarray(jr)], dtype=dtype)
+
+        lcon = np.asarray(model.lcon, dtype=np.float64) * con_scale
+        ucon = np.asarray(model.ucon, dtype=np.float64) * con_scale
+        is_eq = np.asarray(model.lcon) == np.asarray(model.ucon)
         self.eq_rhs = jnp.asarray(np.where(is_eq, lcon, 0.0), dtype=dtype)
         self.is_eq = jnp.asarray(is_eq)
         self.ineq_rows = jnp.asarray(structure.ineq_rows)
@@ -123,26 +160,27 @@ class _Funcs:
         self.has_u = jnp.asarray(uv < _BIG)
         self.l = jnp.asarray(np.where(lv > -_BIG, lv, 0.0), dtype=dtype)
         self.u = jnp.asarray(np.where(uv < _BIG, uv, 0.0), dtype=dtype)
-        self.obj_sign = 1.0 if model.minimize else -1.0
 
-        st = model._static
+        sf = self.obj_sign * self.sigma_f
+        cs = self.con_scale
+        jcs = self.jcoo_scale
 
         def split(v):
             return v[:nx], v[nx:]
 
         def resid(v, theta_p):
             x, s = split(v)
-            c = model._cons_impl(st, x, theta_p)
+            c = cs * model._cons_impl(st, x, theta_p)
             r = c - self.eq_rhs
             if ns:
                 r = r.at[self.ineq_rows].add(-s)
             return r
 
         def objv(v, theta_p):
-            return self.obj_sign * model._obj_impl(st, v[:nx], theta_p)
+            return sf * model._obj_impl(st, v[:nx], theta_p)
 
         def gradv(v, theta_p):
-            g = self.obj_sign * model._grad_impl(st, v[:nx], theta_p)
+            g = sf * model._grad_impl(st, v[:nx], theta_p)
             return jnp.concatenate([g, jnp.zeros(ns, dtype=dtype)])
 
         def barrier(v, mu, theta_p):
@@ -154,26 +192,28 @@ class _Funcs:
             )
 
         def theta(v, theta_p):
-            r = resid(v, theta_p)
-            return jnp.sum(jnp.abs(r))
+            return jnp.sum(jnp.abs(resid(v, theta_p)))
+
+        def aty_of(x, y, theta_p):
+            """Aᵀy over v for the scaled Jacobian A = [S·Jc | −P]."""
+            out = jnp.zeros(nx + ns, dtype=dtype)
+            out = out.at[:nx].set(model._jtprod_impl(st, x, cs * y, theta_p))
+            if ns:
+                out = out.at[nx + jnp.arange(ns)].add(-y[self.ineq_rows])
+            return out
 
         def evals(v, y, zl, zu, mu, theta_p):
-            """Everything the outer loop needs at the current point."""
             x, _ = split(v)
             f = objv(v, theta_p)
             g = gradv(v, theta_p)
             r = resid(v, theta_p)
-            jvals = self.obj_sign_jac * model._jac_impl(st, x, theta_p)
-            hvals = self.obj_sign * model._hess_impl(
-                st, x, self.obj_sign * y, jnp.asarray(1.0, dtype), theta_p
+            jvals = jcs * model._jac_impl(st, x, theta_p)
+            hvals = model._hess_impl(
+                st, x, cs * y, jnp.asarray(sf, dtype), theta_p
             )
             dl = jnp.where(self.has_l, v - self.l, 1.0)
             du = jnp.where(self.has_u, self.u - v, 1.0)
-            # A^T y over v
-            aty = jnp.zeros(nx + ns, dtype=dtype)
-            aty = aty.at[:nx].set(model._jtprod_impl(st, x, y, theta_p))
-            if ns:
-                aty = aty.at[nx + jnp.arange(ns)].add(-y[self.ineq_rows])
+            aty = aty_of(x, y, theta_p)
             r_d = g + aty - jnp.where(self.has_l, zl, 0.0) + jnp.where(self.has_u, zu, 0.0)
             comp_l = jnp.where(self.has_l, dl * zl - mu, 0.0)
             comp_u = jnp.where(self.has_u, du * zu - mu, 0.0)
@@ -195,22 +235,27 @@ class _Funcs:
                 ),
             )
 
-        # jac sign: constraints are unaffected by minimize/maximize
-        self.obj_sign_jac = 1.0
-
         self.resid = jax.jit(resid)
         self.objv = jax.jit(objv)
+        self.gradv = jax.jit(gradv)
         self.barrier = jax.jit(barrier)
         self.theta = jax.jit(theta)
         self.evals = jax.jit(evals)
+        self.trial_eval = jax.jit(lambda v, mu, th: (barrier(v, mu, th), theta(v, th)))
 
-        def trial_eval(v, mu, theta_p):
-            return barrier(v, mu, theta_p), theta(v, theta_p)
+        hr = jnp.asarray(structure.hrows)
+        hc = jnp.asarray(structure.hcols)
 
-        self.trial_eval = jax.jit(trial_eval)
+        def curvature(hvals, sigma, dw, dv):
+            """dᵀ(W + Σ + δw I)d with W from the lower-tri COO."""
+            dx = dv[:nx]
+            coeff = jnp.where(hr == hc, 1.0, 2.0)
+            quad = jnp.sum(coeff * hvals * dx[hr] * dx[hc])
+            return quad + jnp.sum((sigma + dw) * dv * dv)
+
+        self.curvature = jax.jit(curvature)
 
         def alpha_fraction(v, dv, zl, dzl, zu, dzu, tau):
-            """Fraction-to-boundary step sizes (primal, dual)."""
             dl = jnp.where(self.has_l, v - self.l, 1.0)
             du = jnp.where(self.has_u, self.u - v, 1.0)
             a_l = jnp.where(self.has_l & (dv < 0), -tau * dl / jnp.where(dv < 0, dv, -1.0), 1.0)
@@ -227,9 +272,9 @@ class _Funcs:
 def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs) -> IPMResult:
     """Solve an ExaModel-like NLP oracle to first-order stationarity.
 
-    Returns IPMResult with primal x, equality multipliers y (in the
-    original row order/sign convention: ∇f + Jᵀy - zl + zu = 0 for
-    minimization), and bound multipliers zl/zu over x.
+    Returns IPMResult with primal x, constraint multipliers y (original,
+    unscaled convention: ∇f + Jᵀy − zl + zu = 0 for minimization), and
+    bound multipliers zl/zu over x.
     """
     opts = options or IPMOptions()
     for k, v in kwargs.items():
@@ -243,10 +288,27 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
     nx, ns, m = structure.nx, structure.ns, structure.m
     n = nx + ns
 
-    solver_kind = opts.linear_solver or ("dense" if n + m <= opts.dense_limit else "cg")
-    kkt = DenseKKT(structure, dtype) if solver_kind == "dense" else CGKKT(structure, dtype)
+    solver_kind = opts.linear_solver
+    if solver_kind is None:
+        if n + m <= opts.dense_limit:
+            solver_kind = "dense"
+        else:
+            solver_kind = "blocktri"
+    if solver_kind == "dense":
+        kkt = DenseKKT(structure, dtype)
+    elif solver_kind == "blocktri":
+        from .blocktri import BlockTriKKT
 
-    F = _Funcs(model, structure, dtype)
+        try:
+            kkt = BlockTriKKT(structure, dtype)
+        except ValueError:  # bandwidth too large after RCM
+            kkt = CGKKT(structure, dtype)
+    elif solver_kind == "cg":
+        kkt = CGKKT(structure, dtype)
+    else:
+        raise ValueError(f"unknown linear_solver {solver_kind!r}")
+
+    F = _Funcs(model, structure, dtype, opts)
     theta_p = model.theta if theta is None else jnp.asarray(theta, dtype=dtype)
 
     # ---- bound relaxation (Ipopt bound_relax_factor) ---------------------
@@ -262,13 +324,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
 
     # ---- initial point ----------------------------------------------------
     x0 = np.asarray(model.x0, dtype=np.float64)
-    c0 = np.asarray(model.cons(model.x0, theta=theta_p))
+    c0 = F.con_scale_np * np.asarray(model.cons(model.x0, theta=theta_p))
     s0 = c0[structure.ineq_rows] if ns else np.zeros(0)
-    v0 = np.concatenate([x0, s0])
-    # push into the interior (Ipopt κ1/κ2)
-    pl = np.where(has_l, l_np + np.maximum(opts.kappa_1 * np.maximum(1.0, np.abs(l_np)),
-                                           np.where(has_u, opts.kappa_2 * (u_np - l_np), 0.0) * 0 + 0), -np.inf)
-    v = v0.copy()
+    v = np.concatenate([x0, s0])
     for i in range(n):
         li, ui = l_np[i], u_np[i]
         if has_l[i] and has_u[i]:
@@ -280,9 +338,23 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
             v[i] = min(v[i], ui - opts.kappa_1 * max(1.0, abs(ui)))
 
     v = jnp.asarray(v, dtype=dtype)
-    y = jnp.zeros(m, dtype=dtype)
     zl = jnp.where(F.has_l, 1.0, 0.0).astype(dtype)
     zu = jnp.where(F.has_u, 1.0, 0.0).astype(dtype)
+
+    # least-squares dual init: argmin ‖g − zl + zu + Aᵀy‖ via one KKT solve
+    # with W = 0, Σ = 1 (Ipopt §3.6 analogue on the condensed system)
+    y = jnp.zeros(m, dtype=dtype)
+    if m:
+        ev0 = F.evals(v, y, zl, zu, opts.mu_init, theta_p)
+        _, y_ls, ok_ls = kkt.solve(
+            jnp.zeros_like(ev0["hvals"]), ev0["jvals"],
+            jnp.ones(n, dtype=dtype), jnp.zeros(n, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype),
+            -(ev0["g"] - jnp.where(F.has_l, zl, 0.0) + jnp.where(F.has_u, zu, 0.0)),
+            jnp.zeros(m, dtype=dtype),
+        )
+        if bool(ok_ls) and float(jnp.max(jnp.abs(y_ls), initial=0.0)) <= opts.y_init_max:
+            y = y_ls
 
     mu = opts.mu_init
     tau = max(opts.tau_min, 1.0 - mu)
@@ -297,9 +369,10 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
     delta_w_last = 0.0
     status = "max_iter"
     it = 0
+    n_acceptable = 0
     n_bound = int(has_l.sum() + has_u.sum())
 
-    def kkt_error(ev, y, zl, zu, mu):
+    def kkt_error(ev, y, zl, zu):
         sd = max(opts.s_max,
                  (float(jnp.sum(jnp.abs(y))) + float(jnp.sum(jnp.abs(zl))) + float(jnp.sum(jnp.abs(zu))))
                  / max(1, m + n_bound)) / opts.s_max
@@ -311,7 +384,6 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                    float(jnp.max(jnp.abs(ev["comp_u"]), initial=0.0)))
         return max(dual_inf / sd, prim_inf, comp / sc), dual_inf, prim_inf, comp
 
-    soc_count_total = 0
     for it in range(opts.max_iter):
         if time.time() - t0 > opts.max_wall_time:
             status = "time_limit"
@@ -321,31 +393,38 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
             status = "diverged"
             break
 
-        # termination at tol (μ-independent error)
+        # termination (μ-independent error)
         ev0 = F.evals(v, y, zl, zu, 0.0, theta_p)
-        E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu, 0.0)
+        E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu)
         if opts.verbose:
             print(f"it {it:4d}  f {float(ev['f']):+.8e}  θ {float(ev['theta']):.2e} "
                   f"E0 {E0:.2e}  μ {mu:.1e}  δw {delta_w_last:.1e}")
         if E0 <= opts.tol:
             status = "first_order"
             break
+        if E0 <= opts.acceptable_tol:
+            n_acceptable += 1
+            if n_acceptable >= opts.acceptable_iter:
+                status = "acceptable"
+                break
+        else:
+            n_acceptable = 0
 
-        # barrier update (may loop several times: Fiacco-McCormick)
-        E_mu, _, _, _ = kkt_error(ev, y, zl, zu, mu)
+        # barrier update (Fiacco-McCormick, may cascade)
+        E_mu, _, _, _ = kkt_error(ev, y, zl, zu)
         while mu > mu_floor and E_mu <= opts.kappa_eps * mu:
             mu = max(mu_floor, min(opts.kappa_mu * mu, mu ** opts.theta_mu))
             tau = max(opts.tau_min, 1.0 - mu)
             filt = [(theta_max, -np.inf)]
             ev = F.evals(v, y, zl, zu, mu, theta_p)
-            E_mu, _, _, _ = kkt_error(ev, y, zl, zu, mu)
+            E_mu, _, _, _ = kkt_error(ev, y, zl, zu)
 
-        # ---- KKT solve with PD (inertia-free) correction ------------------
+        # ---- KKT solve + inertia-free curvature correction ----------------
         dc = opts.delta_c_bar * max(mu ** opts.kappa_c, 1e-10)
         delta_w = 0.0
         trial_w = (opts.delta_w0 if delta_w_last == 0.0
                    else max(opts.delta_w_min, opts.kappa_w_minus * delta_w_last))
-        dw_vec = jnp.zeros(n, dtype=dtype)
+        dv = dy = None
         for _attempt in range(60):
             dv, dy, pd_ok = kkt.solve(
                 ev["hvals"], ev["jvals"], ev["sigma"],
@@ -353,7 +432,11 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                 ev["r1"], -ev["r"],
             )
             if bool(pd_ok) and bool(jnp.isfinite(dv).all()):
-                break
+                curv = float(F.curvature(ev["hvals"], ev["sigma"],
+                                         jnp.asarray(delta_w, dtype), dv))
+                dnorm = float(jnp.vdot(dv, dv))
+                if curv >= opts.curvature_kappa * dnorm:
+                    break
             delta_w = trial_w if delta_w == 0.0 else delta_w * opts.kappa_w_plus
             if delta_w > opts.delta_w_max:
                 status = "kkt_failure"
@@ -380,7 +463,6 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                         - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
                         + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0)))
 
-        # minimum step size (Ipopt eq. 23 simplified)
         if gphi_dv < 0 and theta_cur <= theta_min:
             alpha_min = opts.alpha_min_frac * min(
                 opts.gamma_theta,
@@ -427,7 +509,7 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                     accepted = True
                     break
 
-            # second-order correction on the first rejected full-ish step
+            # second-order correction on the first rejected full step
             if (not soc_applied and _ls == 0 and alpha >= alpha_max * 0.999
                     and theta_t >= theta_cur and m > 0):
                 soc_applied = True
@@ -455,10 +537,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                               or phi_s <= phi_cur - opts.gamma_phi * theta_cur)
                     if ok_filter and suff_s:
                         v_t, dv = v_try, dv_c
+                        dy = dy_c
                         alpha = float(a_soc)
-                        phi_t, theta_t = phi_s, theta_s
                         accepted = True
-                        soc_count_total += 1
                         break
                     if theta_s > opts.kappa_soc * float(jnp.sum(jnp.abs(r_soc))):
                         break
@@ -471,14 +552,11 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                 break
 
         if not accepted:
-            # feasibility restoration: penalty Gauss-Newton on θ with a
-            # proximal term, warm-started at current point
             v_r, ok = _restoration(F, kkt, v, mu, theta_p, opts, dtype, n)
             if not ok:
                 status = "restoration_failure"
                 break
             v = v_r
-            # reset duals conservatively
             dl = jnp.where(F.has_l, v - F.l, 1.0)
             du = jnp.where(F.has_u, F.u - v, 1.0)
             zl = jnp.where(F.has_l, jnp.clip(mu / dl, 1e-8, 1e8), 0.0)
@@ -507,16 +585,21 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
                        0.0)
 
     ev0 = F.evals(v, y, zl, zu, 0.0, theta_p)
-    E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu, 0.0)
-    if status not in ("first_order",) and E0 <= opts.tol:
-        status = "first_order"
+    E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu)
+    if status not in ("first_order", "acceptable"):
+        if E0 <= opts.tol:
+            status = "first_order"
+        elif E0 <= opts.acceptable_tol:
+            status = "acceptable"
 
+    # unscale multipliers back to the original problem convention
     sign = 1.0 if model.minimize else -1.0
+    unscale = F.con_scale / F.sigma_f
     return IPMResult(
         x=v[:nx],
-        y=sign * y,
-        zl=sign * zl[:nx],
-        zu=sign * zu[:nx],
+        y=sign * unscale * y,
+        zl=sign * zl[:nx] / F.sigma_f,
+        zu=sign * zu[:nx] / F.sigma_f,
         status=status,
         objective=float(model.obj(v[:nx], theta=theta_p)),
         iterations=it + 1,
@@ -540,16 +623,15 @@ def _restoration(F, kkt, v, mu, theta_p, opts, dtype, n):
         if th <= max(1e-12, 1e-4 * theta_prev):
             return v_r, True
         x = v_r[: F.s.nx]
-        jvals = F.model._jac_impl(F.model._static, x, theta_p)
-        zero_h = jnp.zeros(len(F.s.hrows), dtype=dtype)
+        jvals = F.jcoo_scale * F.model._jac_impl(F.model._static, x, theta_p)
         sigma = jnp.full(n, 1.0, dtype=dtype)  # proximal weight
         dv, _dy, ok = kkt.solve(
-            zero_h, jvals, sigma, jnp.zeros(n, dtype=dtype),
-            jnp.asarray(1.0, dtype=dtype), jnp.zeros(n, dtype=dtype), -r
+            jnp.zeros(len(F.s.hrows), dtype=dtype), jvals, sigma,
+            jnp.zeros(n, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.zeros(n, dtype=dtype), -r
         )
         if not bool(ok) or not bool(jnp.isfinite(dv).all()):
             return v_r, False
-        # fraction-to-boundary for primal only
         zl0 = jnp.zeros(n, dtype=dtype)
         a, _ = F.alpha_fraction(v_r, dv, zl0, zl0, zl0, zl0, 0.99)
         a = float(a)
