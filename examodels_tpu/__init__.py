@@ -48,7 +48,18 @@ from .nlp.core import (  # noqa: E402
     add_expr,
 )
 from .nlp.model import ExaModel, set_parameter, solution, multipliers, multipliers_L, multipliers_U  # noqa: E402
+from .nlp.two_stage import (  # noqa: E402
+    EachScenario,
+    TwoStageCore,
+    TwoStageModel,
+    get_con_scen,
+    get_nscen,
+    get_var_scen,
+    scenario_values,
+    set_scenario_values,
+)
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
+from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 
 __all__ = [
     "Node",
@@ -76,6 +87,17 @@ __all__ = [
     "madipm",
     "IPMOptions",
     "IPMResult",
+    "EachScenario",
+    "TwoStageCore",
+    "TwoStageModel",
+    "get_nscen",
+    "get_var_scen",
+    "get_con_scen",
+    "scenario_values",
+    "set_scenario_values",
+    "CompressedModel",
+    "TimedModel",
+    "WrapperModel",
 ] + emath.__all__
 
 __version__ = "0.1.0"

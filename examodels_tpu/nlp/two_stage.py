@@ -1,0 +1,154 @@
+"""Two-stage stochastic-program structure (parity: /root/reference/src/
+two_stage.jl). First-stage (design) components are shared; second-stage
+(recourse) components declared with `EachScenario()` are replicated per
+scenario with scenario-major memory layout (the row-major equivalent of the
+reference's trailing-scenario-dimension column-major layout,
+two_stage.jl:122-137), so contiguous block-sharding of the element axis IS
+scenario sharding — `ShardedEvaluator` over a "scen" mesh axis gives
+scenario-parallel evaluation with psum-reduced first-stage coupling
+(SURVEY.md §2.5: "this layer is where real multi-host parallelism lives").
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+
+from .core import Constraint, ExaCore, Parameter, Variable
+from .model import ExaModel
+
+__all__ = [
+    "EachScenario",
+    "TwoStageCore",
+    "TwoStageModel",
+    "get_nscen",
+    "get_var_scen",
+    "get_con_scen",
+    "scenario_values",
+    "set_scenario_values",
+]
+
+
+class EachScenario:
+    """Marker: replicate the declaration per scenario
+    (parity: two_stage.jl:20)."""
+
+
+class TwoStageCore(ExaCore):
+    """ExaCore carrying scenario structure: `nscen` plus per-variable and
+    per-constraint scenario tags (0 = first stage / shared)."""
+
+    def __init__(self, nscen: int, dtype=None, **kw):
+        super().__init__(dtype, **kw)
+        if nscen < 1:
+            raise ValueError("nscen must be >= 1")
+        self.nscen = int(nscen)
+        self._var_scen: list[np.ndarray] = []
+        self._con_scen: list[np.ndarray] = []
+
+    # -- variables ----------------------------------------------------------
+    def add_var(self, shape=(), *args, **kw) -> Variable:
+        if isinstance(shape, EachScenario):
+            return self._add_var_scen(*args, **kw)
+        v = super().add_var(shape, *args, **kw)
+        self._var_scen.append(np.zeros(v.size, dtype=np.int64))
+        return v
+
+    def _add_var_scen(self, shape=(), **kw) -> Variable:
+        shape = (shape,) if isinstance(shape, (int, np.integer)) else tuple(shape)
+        per = int(np.prod(shape)) if shape else 1
+        # replicate bounds/starts per scenario when given per-scenario-block
+        for key in ("start", "lvar", "uvar"):
+            val = kw.get(key)
+            if val is not None and not np.isscalar(val):
+                arr = np.asarray(val, dtype=np.float64).reshape(-1)
+                if arr.size == per:
+                    kw[key] = np.tile(arr, self.nscen)
+        v = super().add_var((self.nscen,) + shape, **kw)
+        self._var_scen.append(
+            np.repeat(np.arange(1, self.nscen + 1), per)
+        )
+        return v
+
+    # -- parameters ---------------------------------------------------------
+    def add_par(self, values, *args, **kw) -> Parameter:
+        if isinstance(values, EachScenario):
+            (inner,) = args if args else (kw.pop("values"),)
+            arr = np.asarray(inner, dtype=np.float64)
+            rep = np.broadcast_to(arr, (self.nscen,) + arr.shape).copy()
+            return super().add_par(rep, **kw)
+        return super().add_par(values, *args, **kw)
+
+    # -- constraints --------------------------------------------------------
+    def add_con(self, template=None, data=None, *args, **kw) -> Constraint:
+        if isinstance(template, EachScenario):
+            real_data = args[0] if args else kw.pop("data", None)
+            con = super().add_con(data, real_data, **kw)
+            if con.n % self.nscen:
+                raise ValueError(
+                    f"EachScenario constraint rows ({con.n}) not divisible "
+                    f"by nscen ({self.nscen}); iterate scenario-major"
+                )
+            self._con_scen.append(
+                np.repeat(np.arange(1, self.nscen + 1), con.n // self.nscen)
+            )
+            return con
+        con = super().add_con(template, data, **kw)
+        self._con_scen.append(np.zeros(con.n, dtype=np.int64))
+        return con
+
+    def var_scen(self) -> np.ndarray:
+        return (
+            np.concatenate(self._var_scen)
+            if self._var_scen
+            else np.zeros(0, dtype=np.int64)
+        )
+
+    def con_scen(self) -> np.ndarray:
+        return (
+            np.concatenate(self._con_scen)
+            if self._con_scen
+            else np.zeros(0, dtype=np.int64)
+        )
+
+
+class TwoStageModel(ExaModel):
+    """ExaModel carrying the scenario tags of its TwoStageCore."""
+
+    def __init__(self, core: TwoStageCore, **kw):
+        super().__init__(core, **kw)
+        self.nscen = core.nscen
+        self._var_scen = core.var_scen()
+        self._con_scen = core.con_scen()
+
+
+def get_nscen(model) -> int:
+    return model.nscen
+
+
+def get_var_scen(model) -> np.ndarray:
+    """Per-variable scenario index (0 = first stage)
+    (parity: two_stage.jl:266-273)."""
+    return model._var_scen
+
+
+def get_con_scen(model) -> np.ndarray:
+    return model._con_scen
+
+
+def scenario_values(model, vec, scen: int, *, kind: str = "var") -> np.ndarray:
+    """Slice a model-length vector to scenario `scen`'s components
+    (parity: per-scenario getters, two_stage.jl:290-409). scen=0 gives the
+    first-stage block."""
+    tags = model._var_scen if kind == "var" else model._con_scen
+    return np.asarray(vec)[tags == scen]
+
+
+def set_scenario_values(model, vec, scen: int, values, *, kind: str = "var"):
+    """Write scenario `scen`'s components of a model-length numpy vector."""
+    tags = model._var_scen if kind == "var" else model._con_scen
+    out = np.asarray(vec)
+    out[tags == scen] = values
+    return out

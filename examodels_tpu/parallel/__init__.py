@@ -1,0 +1,3 @@
+from .sharded import ShardedEvaluator, make_mesh
+
+__all__ = ["ShardedEvaluator", "make_mesh"]

@@ -21,7 +21,6 @@ ICI via XLA psum, and is the foundation for the two-stage scenario mesh axis.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -45,7 +44,9 @@ def _pad_to(n: int, k: int) -> int:
 
 class ShardedEvaluator:
     """Shards an ExaModel's pattern arrays over one mesh axis and exposes
-    jitted obj/grad/cons/jac/hess evaluations with psum-reduced accumulation.
+    jitted obj/grad/cons/jac/hess evaluations with psum-reduced accumulation,
+    plus a fused `newton_step` — one jit containing the shard_map'd
+    derivative evaluation AND a (replicated) regularized KKT solve.
 
     Elements are padded to a multiple of the mesh size with zero-weight
     rows (weight column w ∈ {0,1} multiplies every contribution), so shapes
@@ -67,7 +68,7 @@ class ShardedEvaluator:
             w = np.zeros(npad, dtype=np.float64)
             w[:n] = 1.0
 
-            def pad(a, fill=0):
+            def pad(a):
                 a = np.asarray(a)
                 if a.ndim == 0 or a.shape[0] != n:
                     return a
@@ -75,7 +76,7 @@ class ShardedEvaluator:
                 out[:n] = a
                 return out
 
-            padded = {
+            return {
                 "vidx": pad(arrs["vidx"]),
                 "pidx": pad(arrs["pidx"]),
                 "data": tuple(pad(c) for c in arrs["data"]),
@@ -83,38 +84,39 @@ class ShardedEvaluator:
                 "hdup": pad(arrs["hdup"]),
                 "w": w,
             }
-            return padded
 
         self._obj_pats = list(model._obj_pats)
         self._con_pats = list(model._con_pats)
         st = jax.device_get(model._static)
-        self._arrs_obj = [pad_pattern(rt, a) for rt, a in zip(self._obj_pats, st["obj"])]
-        self._arrs_con = [pad_pattern(rt, a) for rt, a in zip(self._con_pats, st["con"])]
+        arrs_obj = [pad_pattern(rt, a) for rt, a in zip(self._obj_pats, st["obj"])]
+        arrs_con = [pad_pattern(rt, a) for rt, a in zip(self._con_pats, st["con"])]
 
-        spec_elem = P(axis)
-        self._sharded_obj = [
-            self._shard_tree(a, spec_elem) for a in self._arrs_obj
-        ]
-        self._sharded_con = [
-            self._shard_tree(a, spec_elem) for a in self._arrs_con
-        ]
-
-        self._jit_obj = self._build_obj()
-        self._jit_grad = self._build_grad()
-        self._jit_cons = self._build_cons()
-        self._jit_jac = self._build_jac()
-        self._jit_hess = self._build_hess()
-
-    def _shard_tree(self, tree, spec):
         def put(a):
             a = jnp.asarray(a)
-            if a.ndim >= 1:
-                return jax.device_put(a, NamedSharding(self.mesh, P(self.axis)))
-            return jax.device_put(a, NamedSharding(self.mesh, P()))
+            spec = P(axis) if a.ndim >= 1 else P()
+            return jax.device_put(a, NamedSharding(mesh, spec))
 
-        return jax.tree_util.tree_map(put, tree)
+        self.arrs_obj = [jax.tree_util.tree_map(put, a) for a in arrs_obj]
+        self.arrs_con = [jax.tree_util.tree_map(put, a) for a in arrs_con]
+        self._n_obj = len(self.arrs_obj)
 
-    # -- helpers inside shard_map ------------------------------------------
+        def specs_of(arrs):
+            return [
+                jax.tree_util.tree_map(
+                    lambda v: P(axis) if v.ndim >= 1 else P(), a
+                )
+                for a in arrs
+            ]
+
+        self._in_specs = tuple(specs_of(self.arrs_obj) + specs_of(self.arrs_con))
+
+        self._jit_obj = jax.jit(self._obj_impl)
+        self._jit_grad = jax.jit(self._grad_impl)
+        self._jit_cons = jax.jit(self._cons_impl)
+        self._jit_hess = jax.jit(self._hess_impl)
+        self._jit_step = jax.jit(self._newton_step_impl)
+
+    # -- local (per-shard) math --------------------------------------------
     def _local_vals(self, rt, arrs, x, theta):
         xg = x[arrs["vidx"]]
         thg = theta[arrs["pidx"]]
@@ -133,194 +135,169 @@ class ShardedEvaluator:
             xg, arrs["data"], thg
         )
         hp_i, hp_j = rt.hp
-        ent = hfull[:, hp_i, hp_j] * arrs["hdup"]
-        return ent * arrs["w"][:, None]
+        return hfull[:, hp_i, hp_j] * arrs["hdup"] * arrs["w"][:, None]
 
-    # -- jitted sharded oracles --------------------------------------------
-    def _build_obj(self):
-        mesh, axis = self.mesh, self.axis
-        pats, arrs_spec = self._obj_pats, self._sharded_obj
+    def _shmap(self, local, out_specs, *args):
+        """shard_map with replicated non-array args and element-sharded
+        pattern arrays appended."""
+        n_lead = len(args)
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(),) * n_lead + self._in_specs,
+            out_specs=out_specs,
+        )(*args, *self.arrs_obj, *self.arrs_con)
 
-        def impl(x, theta, *arrs):
-            def local(x, theta, *arrs):
-                tot = jnp.zeros((), dtype=self.dtype)
-                for rt, a in zip(pats, arrs):
-                    tot = tot + jnp.sum(self._local_vals(rt, a, x, theta))
-                return jax.lax.psum(tot, axis)
+    def _split(self, arrs):
+        return arrs[: self._n_obj], arrs[self._n_obj :]
 
-            specs = tuple(
-                jax.tree_util.tree_map(lambda _: P(axis), a) for a in arrs
-            )
-            fixed = [
-                jax.tree_util.tree_map(
-                    lambda v: P(axis) if v.ndim >= 1 else P(), a
-                )
-                for a in arrs
-            ]
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P()) + tuple(fixed),
-                out_specs=P(),
-            )(x, theta, *arrs)
+    # -- impls (traced under jit) ------------------------------------------
+    def _obj_impl(self, x, theta):
+        def local(x, theta, *arrs):
+            a_obj, _ = self._split(arrs)
+            tot = jnp.zeros((), dtype=self.dtype)
+            for rt, a in zip(self._obj_pats, a_obj):
+                tot = tot + jnp.sum(self._local_vals(rt, a, x, theta))
+            return jax.lax.psum(tot, self.axis)
 
-        jitted = jax.jit(impl)
+        return self._shmap(local, P(), x, theta)
 
-        def run(x, theta=None):
-            th = self.model.theta if theta is None else jnp.asarray(theta, self.dtype)
-            return jitted(jnp.asarray(x, self.dtype), th, *arrs_spec)
-
-        return run
-
-    def _build_grad(self):
-        mesh, axis = self.mesh, self.axis
-        pats, arrs_spec = self._obj_pats, self._sharded_obj
-        nvar = self.nvar
-
-        def impl(x, theta, *arrs):
-            def local(x, theta, *arrs):
-                g = jnp.zeros(nvar, dtype=self.dtype)
-                for rt, a in zip(pats, arrs):
-                    if rt.p:
-                        ent = self._local_grads(rt, a, x, theta)
-                        g = g + jax.ops.segment_sum(
-                            ent.reshape(-1), a["vidx"].reshape(-1), num_segments=nvar
-                        )
-                return jax.lax.psum(g, axis)
-
-            fixed = [
-                jax.tree_util.tree_map(
-                    lambda v: P(axis) if v.ndim >= 1 else P(), a
-                )
-                for a in arrs
-            ]
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P()) + tuple(fixed),
-                out_specs=P(),
-            )(x, theta, *arrs)
-
-        jitted = jax.jit(impl)
-
-        def run(x, theta=None):
-            th = self.model.theta if theta is None else jnp.asarray(theta, self.dtype)
-            return jitted(jnp.asarray(x, self.dtype), th, *arrs_spec)
-
-        return run
-
-    def _build_cons(self):
-        mesh, axis = self.mesh, self.axis
-        pats, arrs_spec = self._con_pats, self._sharded_con
-        ncon = self.ncon
-
-        def impl(x, theta, *arrs):
-            def local(x, theta, *arrs):
-                out = jnp.zeros(ncon, dtype=self.dtype)
-                for rt, a in zip(pats, arrs):
-                    vals = self._local_vals(rt, a, x, theta)
-                    out = out + jax.ops.segment_sum(
-                        vals, a["rows"], num_segments=ncon
+    def _grad_impl(self, x, theta):
+        def local(x, theta, *arrs):
+            a_obj, _ = self._split(arrs)
+            g = jnp.zeros(self.nvar, dtype=self.dtype)
+            for rt, a in zip(self._obj_pats, a_obj):
+                if rt.p:
+                    ent = self._local_grads(rt, a, x, theta)
+                    g = g + jax.ops.segment_sum(
+                        ent.reshape(-1), a["vidx"].reshape(-1),
+                        num_segments=self.nvar,
                     )
-                return jax.lax.psum(out, axis)
+            return jax.lax.psum(g, self.axis)
 
-            fixed = [
-                jax.tree_util.tree_map(
-                    lambda v: P(axis) if v.ndim >= 1 else P(), a
+        return self._shmap(local, P(), x, theta)
+
+    def _cons_impl(self, x, theta):
+        def local(x, theta, *arrs):
+            _, a_con = self._split(arrs)
+            out = jnp.zeros(self.ncon, dtype=self.dtype)
+            for rt, a in zip(self._con_pats, a_con):
+                vals = self._local_vals(rt, a, x, theta)
+                out = out + jax.ops.segment_sum(
+                    vals, a["rows"], num_segments=self.ncon
                 )
-                for a in arrs
-            ]
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P()) + tuple(fixed),
-                out_specs=P(),
-            )(x, theta, *arrs)
+            return jax.lax.psum(out, self.axis)
 
-        jitted = jax.jit(impl)
+        return self._shmap(local, P(), x, theta)
 
-        def run(x, theta=None):
-            th = self.model.theta if theta is None else jnp.asarray(theta, self.dtype)
-            return jitted(jnp.asarray(x, self.dtype), th, *arrs_spec)
-
-        return run
-
-    def _build_jac(self):
-        """Per-pattern (padded_n, p) Jacobian entry blocks, element axis
-        sharded end-to-end — no collective needed."""
-        mesh, axis = self.mesh, self.axis
-        pats, arrs_spec = self._con_pats, self._sharded_con
-
-        def impl(x, theta, *arrs):
-            def local(x, theta, *arrs):
-                return tuple(
-                    self._local_grads(rt, a, x, theta)
-                    for rt, a in zip(pats, arrs)
-                    if rt.p
-                )
-
-            fixed = [
-                jax.tree_util.tree_map(
-                    lambda v: P(axis) if v.ndim >= 1 else P(), a
-                )
-                for a in arrs
-            ]
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P()) + tuple(fixed),
-                out_specs=tuple(P(axis) for rt in pats if rt.p),
-            )(x, theta, *arrs)
-
-        jitted = jax.jit(impl)
-
-        def run(x, theta=None):
-            th = self.model.theta if theta is None else jnp.asarray(theta, self.dtype)
-            return jitted(jnp.asarray(x, self.dtype), th, *arrs_spec)
-
-        return run
-
-    def _build_hess(self):
-        mesh, axis = self.mesh, self.axis
-        opats, oarrs = self._obj_pats, self._sharded_obj
-        cpats, carrs = self._con_pats, self._sharded_con
-        ncon = self.ncon
-
-        def impl(x, y, obj_w, theta, *arrs):
-            no = len(oarrs)
-            a_obj, a_con = arrs[:no], arrs[no:]
-
-            def local(x, y, obj_w, theta, *arrs):
-                a_obj, a_con = arrs[:no], arrs[no:]
-                outs = []
-                for rt, a in zip(opats, a_obj):
-                    if rt.o2step:
-                        outs.append(obj_w * self._local_hess(rt, a, x, theta))
-                for rt, a in zip(cpats, a_con):
-                    if rt.o2step:
-                        mult = y[a["rows"]]
-                        outs.append(mult[:, None] * self._local_hess(rt, a, x, theta))
-                return tuple(outs)
-
-            fixed = [
-                jax.tree_util.tree_map(
-                    lambda v: P(axis) if v.ndim >= 1 else P(), a
-                )
-                for a in arrs
-            ]
-            n_out = sum(1 for rt in opats if rt.o2step) + sum(
-                1 for rt in cpats if rt.o2step
-            )
-            return jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), P(), P(), P()) + tuple(fixed),
-                out_specs=tuple(P(axis) for _ in range(n_out)),
-            )(x, y, obj_w, theta, *arrs)
-
-        jitted = jax.jit(impl)
-
-        def run(x, y=None, obj_weight=1.0, theta=None):
-            th = self.model.theta if theta is None else jnp.asarray(theta, self.dtype)
-            yv = jnp.zeros(ncon, dtype=self.dtype) if y is None else jnp.asarray(y, self.dtype)
-            return jitted(
-                jnp.asarray(x, self.dtype), yv,
-                jnp.asarray(obj_weight, self.dtype), th, *(oarrs + carrs)
+    def _jac_blocks_impl(self, x, theta):
+        """Per-pattern (padded_n, p) Jacobian entries, sharded end-to-end."""
+        def local(x, theta, *arrs):
+            _, a_con = self._split(arrs)
+            return tuple(
+                self._local_grads(rt, a, x, theta)
+                for rt, a in zip(self._con_pats, a_con)
+                if rt.p
             )
 
-        return run
+        n_out = sum(1 for rt in self._con_pats if rt.p)
+        return self._shmap(local, tuple(P(self.axis) for _ in range(n_out)), x, theta)
+
+    def _hess_impl(self, x, y, obj_w, theta):
+        def local(x, y, obj_w, theta, *arrs):
+            a_obj, a_con = self._split(arrs)
+            outs = []
+            for rt, a in zip(self._obj_pats, a_obj):
+                if rt.o2step:
+                    outs.append(obj_w * self._local_hess(rt, a, x, theta))
+            for rt, a in zip(self._con_pats, a_con):
+                if rt.o2step:
+                    mult = y[a["rows"]]
+                    outs.append(mult[:, None] * self._local_hess(rt, a, x, theta))
+            return tuple(outs)
+
+        n_out = sum(1 for rt in self._obj_pats if rt.o2step) + sum(
+            1 for rt in self._con_pats if rt.o2step
+        )
+        return self._shmap(
+            local, tuple(P(self.axis) for _ in range(n_out)), x, y, obj_w, theta
+        )
+
+    def _newton_step_impl(self, x, y, theta, reg):
+        """One primal-dual Newton-KKT step: shard_map'd derivative
+        evaluation (dp over elements, psum reductions) + replicated dense
+        regularized KKT solve. The multi-chip 'training step'."""
+        g = self._grad_impl(x, theta)
+        r = self._cons_impl(x, theta)
+        jac_blocks = self._jac_blocks_impl(x, theta)
+        hess_blocks = self._hess_impl(x, y, jnp.asarray(1.0, self.dtype), theta)
+
+        n, m = self.nvar, self.ncon
+        J = jnp.zeros((m, n), dtype=self.dtype)
+        bi = 0
+        for rt, a in zip(self._con_pats, self.arrs_con):
+            if rt.p:
+                ent = jac_blocks[bi]
+                bi += 1
+                rows = jnp.repeat(a["rows"], rt.p)
+                cols = a["vidx"].reshape(-1)
+                J = J.at[rows, cols].add(ent.reshape(-1))
+        W = jnp.zeros((n, n), dtype=self.dtype)
+        bi = 0
+        for rt, a in list(zip(self._obj_pats, self.arrs_obj)) + list(
+            zip(self._con_pats, self.arrs_con)
+        ):
+            if rt.o2step:
+                ent = hess_blocks[bi]
+                bi += 1
+                hp_i, hp_j = rt.hp
+                ri = a["vidx"][:, hp_i].reshape(-1)
+                ci = a["vidx"][:, hp_j].reshape(-1)
+                rr = jnp.maximum(ri, ci)
+                cc = jnp.minimum(ri, ci)
+                W = W.at[rr, cc].add(ent.reshape(-1))
+        W = jnp.tril(W) + jnp.tril(W, -1).T
+
+        K = jnp.block(
+            [
+                [W + reg * jnp.eye(n, dtype=self.dtype), J.T],
+                [J, -reg * jnp.eye(m, dtype=self.dtype)],
+            ]
+        )
+        rhs = jnp.concatenate([-(g + J.T @ y), -r])
+        d = jnp.linalg.solve(K, rhs)
+        return x + d[:n], y + d[n:], jnp.vdot(rhs, rhs)
+
+    # -- public API --------------------------------------------------------
+    def obj(self, x, theta=None):
+        return self._jit_obj(self._x(x), self._th(theta))
+
+    def grad(self, x, theta=None):
+        return self._jit_grad(self._x(x), self._th(theta))
+
+    def cons(self, x, theta=None):
+        return self._jit_cons(self._x(x), self._th(theta))
+
+    def hess_blocks(self, x, y=None, obj_weight=1.0, theta=None):
+        yv = (
+            jnp.zeros(self.ncon, dtype=self.dtype)
+            if y is None
+            else jnp.asarray(y, self.dtype)
+        )
+        return self._jit_hess(
+            self._x(x), yv, jnp.asarray(obj_weight, self.dtype), self._th(theta)
+        )
+
+    def newton_step(self, x, y, theta=None, reg=1e-8):
+        return self._jit_step(
+            self._x(x),
+            jnp.asarray(y, self.dtype),
+            self._th(theta),
+            jnp.asarray(reg, self.dtype),
+        )
+
+    def _x(self, x):
+        return jnp.asarray(x, dtype=self.dtype)
+
+    def _th(self, theta):
+        return self.model.theta if theta is None else jnp.asarray(theta, self.dtype)

@@ -1,0 +1,3 @@
+from .wrappers import CallbackStats, CompressedModel, TimedModel, WrapperModel
+
+__all__ = ["CallbackStats", "CompressedModel", "TimedModel", "WrapperModel"]
