@@ -58,6 +58,14 @@ from .nlp.two_stage import (  # noqa: E402
     scenario_values,
     set_scenario_values,
 )
+from .nlp.oracle import (  # noqa: E402
+    OracleEvaluator,
+    ScalarNonlinearOracle,
+    VectorNonlinearOracle,
+    embed_oracle,
+    has_matfree_hess,
+    has_matfree_jac,
+)
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 
@@ -98,6 +106,12 @@ __all__ = [
     "CompressedModel",
     "TimedModel",
     "WrapperModel",
+    "VectorNonlinearOracle",
+    "ScalarNonlinearOracle",
+    "OracleEvaluator",
+    "embed_oracle",
+    "has_matfree_jac",
+    "has_matfree_hess",
 ] + emath.__all__
 
 __version__ = "0.1.0"

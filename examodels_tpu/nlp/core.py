@@ -204,6 +204,9 @@ class ExaCore:
         self.cons: list[Constraint] = []
         self.conaugs: list[ConstraintAug] = []
         self.exprs: list[Expression] = []
+        self.oracles: list[tuple] = []  # (VectorNonlinearOracle, row_offset)
+        self.scalar_oracles: list = []
+        self.evals: list = []  # OracleEvaluator
         self.refs: dict[str, Any] = {}
 
         self._x0: list[np.ndarray] = []
@@ -375,6 +378,44 @@ class ExaCore:
         aug = ConstraintAug(con, pat, con.offset + rel_rows, name or f"aug{len(self.conaugs)}")
         self.conaugs.append(aug)
         return aug
+
+    def add_oracle(self, oracle, *, name: Optional[str] = None) -> Constraint:
+        """Register an opaque VectorNonlinearOracle constraint block
+        (parity: constraint(c, ::VectorNonlinearOracle),
+        /root/reference/src/oracle.jl:265-343). Appends oracle.ncon rows
+        after all rows registered so far; returns a Constraint handle."""
+        if oracle.nvar != self.nvar:
+            raise ValueError(
+                f"oracle.nvar={oracle.nvar} but model has nvar={self.nvar}; "
+                "register oracles after all add_var calls"
+            )
+        off = self.ncon
+        con = Constraint(off, oracle.ncon, (oracle.ncon,), None,
+                         name or oracle.name)
+        if name:
+            self._register(name, con, "c")
+        self.ncon += oracle.ncon
+        self._y0.append(np.zeros(oracle.ncon))
+        self._lcon.append(np.asarray(oracle.lcon, dtype=np.float64))
+        self._ucon.append(np.asarray(oracle.ucon, dtype=np.float64))
+        self.oracles.append((oracle, off))
+        return con
+
+    def add_scalar_oracle(self, oracle) -> None:
+        """Register an opaque scalar objective oracle
+        (parity: objective(c, ::ScalarNonlinearOracle), oracle.jl:189-263)."""
+        self.scalar_oracles.append(oracle)
+
+    def add_eval(self, evaluator) -> None:
+        """Register an OracleEvaluator accumulating into existing rows
+        (parity: add_eval, /root/reference/src/oracle.jl:1272-1393)."""
+        rows = np.asarray(evaluator.con_rows)
+        if len(rows) and (rows.min() < 0 or rows.max() >= self.ncon):
+            raise IndexError("evaluator con_rows out of range")
+        vix = np.asarray(evaluator.var_idx)
+        if len(vix) and (vix.min() < 0 or vix.max() >= self.nvar):
+            raise IndexError("evaluator var_idx out of range")
+        self.evals.append(evaluator)
 
     def add_expr(self, template, data=None, *, shape=None, name: Optional[str] = None) -> Expression:
         table = DataTable.from_data(data)

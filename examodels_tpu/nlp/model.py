@@ -98,6 +98,14 @@ class ExaModel:
             if rt is not None:
                 self._con_pats.append(rt)
 
+        # ---- oracle blocks (L3, parity: src/oracle.jl) --------------------
+        self._oracles = list(core.oracles)
+        self._scalar_oracles = list(core.scalar_oracles)
+        self._evals = list(core.evals)
+        # dense-coordinate Hessians for traceable scalar oracles only below
+        # this size (matches the reference's "matrix-free beyond" stance)
+        self._so_dense_limit = 2048
+
         # ---- static COO structures ----------------------------------------
         jac_rows, jac_cols = [], []
         for rt in self._con_pats:
@@ -105,6 +113,12 @@ class ExaModel:
                 r = np.repeat(np.asarray(rt.arrays["rows"]), rt.p)
                 jac_rows.append(r)
                 jac_cols.append(np.asarray(rt.arrays["vidx"]).reshape(-1))
+        for o, off in self._oracles:
+            jac_rows.append(off + np.asarray(o.jac_rows, dtype=np.int64))
+            jac_cols.append(np.asarray(o.jac_cols, dtype=np.int64))
+        for ev in self._evals:
+            jac_rows.append(np.asarray(ev.con_rows)[np.asarray(ev.jac_rows)])
+            jac_cols.append(np.asarray(ev.var_idx)[np.asarray(ev.jac_cols)])
         self._jac_rows = (
             np.concatenate(jac_rows).astype(np.int32) if jac_rows else np.zeros(0, np.int32)
         )
@@ -122,6 +136,19 @@ class ExaModel:
             else:
                 rt.arrays.pop("_hrows", None)
                 rt.arrays.pop("_hcols", None)
+        for o, off in self._oracles:
+            hess_rows.append(np.asarray(o.hess_rows, dtype=np.int64))
+            hess_cols.append(np.asarray(o.hess_cols, dtype=np.int64))
+        for ev in self._evals:
+            gi = np.asarray(ev.var_idx)[np.asarray(ev.hess_rows)]
+            gj = np.asarray(ev.var_idx)[np.asarray(ev.hess_cols)]
+            hess_rows.append(np.maximum(gi, gj))
+            hess_cols.append(np.minimum(gi, gj))
+        for so in self._scalar_oracles:
+            if so.jit_compatible and self.nvar <= self._so_dense_limit:
+                r, c = np.tril_indices(self.nvar)
+                hess_rows.append(r)
+                hess_cols.append(c)
         self._hess_rows = (
             np.concatenate(hess_rows).astype(np.int32) if hess_rows else np.zeros(0, np.int32)
         )
@@ -229,13 +256,19 @@ class ExaModel:
     # ------------------------------------------------------------------
     # oracle implementations (closed over pattern eval fns; arrays via args)
     # ------------------------------------------------------------------
-    def _obj_impl(self, st, x, theta):
+    def _obj_simd(self, st, x, theta):
         total = jnp.zeros((), dtype=self.dtype)
         for rt, arrs in zip(self._obj_pats, st["obj"]):
             total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta))
         return total
 
-    def _cons_impl(self, st, x, theta):
+    def _obj_impl(self, st, x, theta):
+        total = self._obj_simd(st, x, theta)
+        for so in self._scalar_oracles:
+            total = total + so._call_f(x, self.dtype)
+        return total
+
+    def _cons_simd(self, st, x, theta):
         if not self._con_pats:
             return jnp.zeros(self.ncon, dtype=self.dtype)
         vals = jnp.concatenate(
@@ -248,21 +281,36 @@ class ExaModel:
             indices_are_sorted=True,
         )
 
+    def _cons_impl(self, st, x, theta):
+        out = self._cons_simd(st, x, theta)
+        for o, off in self._oracles:
+            out = jax.lax.dynamic_update_slice(
+                out, out[off : off + o.ncon] + o._call_f(x, self.dtype), (off,)
+            )
+        for ev in self._evals:
+            xl = x[jnp.asarray(ev.var_idx)]
+            out = out.at[jnp.asarray(ev.con_rows)].add(ev._call_f(xl, self.dtype))
+        return out
+
     def _grad_impl(self, st, x, theta):
-        if not self._obj_pats:
-            return jnp.zeros(self.nvar, dtype=self.dtype)
-        entries = jnp.concatenate(
-            [
-                self._pat_grads(rt, arrs, x, theta).reshape(-1)
-                for rt, arrs in zip(self._obj_pats, st["obj"])
-            ]
-        )
-        return jax.ops.segment_sum(
-            entries[st["gperm"]],
-            st["gids"],
-            num_segments=self.nvar,
-            indices_are_sorted=True,
-        )
+        if self._obj_pats:
+            entries = jnp.concatenate(
+                [
+                    self._pat_grads(rt, arrs, x, theta).reshape(-1)
+                    for rt, arrs in zip(self._obj_pats, st["obj"])
+                ]
+            )
+            g = jax.ops.segment_sum(
+                entries[st["gperm"]],
+                st["gids"],
+                num_segments=self.nvar,
+                indices_are_sorted=True,
+            )
+        else:
+            g = jnp.zeros(self.nvar, dtype=self.dtype)
+        for so in self._scalar_oracles:
+            g = g + so._call_grad(x, self.dtype)
+        return g
 
     def _jac_impl(self, st, x, theta):
         outs = [
@@ -270,6 +318,11 @@ class ExaModel:
             for rt, arrs in zip(self._con_pats, st["con"])
             if rt.p
         ]
+        for o, _off in self._oracles:
+            outs.append(o._call_jac(x, self.dtype))
+        for ev in self._evals:
+            xl = x[jnp.asarray(ev.var_idx)]
+            outs.append(ev._call_jac(xl, self.dtype))
         if not outs:
             return jnp.zeros(0, dtype=self.dtype)
         return jnp.concatenate(outs)
@@ -283,25 +336,111 @@ class ExaModel:
             if rt.o2step:
                 mult = y[arrs["rows"]]
                 outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta)).reshape(-1))
+        for o, off in self._oracles:
+            outs.append(o._call_hess(x, y[off : off + o.ncon], self.dtype))
+        for ev in self._evals:
+            xl = x[jnp.asarray(ev.var_idx)]
+            yl = y[jnp.asarray(ev.con_rows)]
+            outs.append(ev._call_hess(xl, yl, self.dtype))
+        for so in self._scalar_oracles:
+            if so.jit_compatible and self.nvar <= self._so_dense_limit:
+                H = jax.hessian(lambda xx: so._call_f(xx, self.dtype))(x)
+                r, c = np.tril_indices(self.nvar)
+                outs.append(obj_weight * H[r, c])
         if not outs:
             return jnp.zeros(0, dtype=self.dtype)
         return jnp.concatenate(outs)
 
     def _jprod_impl(self, st, x, v, theta):
-        return jax.jvp(lambda xx: self._cons_impl(st, xx, theta), (x,), (v,))[1]
+        out = jax.jvp(lambda xx: self._cons_simd(st, xx, theta), (x,), (v,))[1]
+        for o, off in self._oracles:
+            if o.jvp is not None:
+                contrib = jnp.asarray(o.jvp(x, v), dtype=self.dtype)
+            elif o.jit_compatible:
+                contrib = jax.jvp(
+                    lambda xx: o._call_f(xx, self.dtype), (x,), (v,)
+                )[1]
+            else:  # COO product through the explicit Jacobian values
+                jv = o._call_jac(x, self.dtype)
+                contrib = jax.ops.segment_sum(
+                    jv * v[jnp.asarray(o.jac_cols)],
+                    jnp.asarray(o.jac_rows),
+                    num_segments=o.ncon,
+                )
+            out = jax.lax.dynamic_update_slice(
+                out, out[off : off + o.ncon] + contrib, (off,)
+            )
+        for ev in self._evals:
+            vix = jnp.asarray(ev.var_idx)
+            contrib = jax.jvp(
+                lambda xl: ev._call_f(xl, self.dtype), (x[vix],), (v[vix],)
+            )[1]
+            out = out.at[jnp.asarray(ev.con_rows)].add(contrib)
+        return out
 
     def _jtprod_impl(self, st, x, v, theta):
-        _, vjp = jax.vjp(lambda xx: self._cons_impl(st, xx, theta), x)
-        return vjp(v)[0]
+        _, vjp = jax.vjp(lambda xx: self._cons_simd(st, xx, theta), x)
+        out = vjp(v)[0]
+        for o, off in self._oracles:
+            w = v[off : off + o.ncon]
+            if o.vjp is not None:
+                out = out + jnp.asarray(o.vjp(x, w), dtype=self.dtype)
+            elif o.jit_compatible:
+                _, ovjp = jax.vjp(lambda xx: o._call_f(xx, self.dtype), x)
+                out = out + ovjp(w)[0]
+            else:
+                jv = o._call_jac(x, self.dtype)
+                out = out + jax.ops.segment_sum(
+                    jv * w[jnp.asarray(o.jac_rows)],
+                    jnp.asarray(o.jac_cols),
+                    num_segments=self.nvar,
+                )
+        for ev in self._evals:
+            vix = jnp.asarray(ev.var_idx)
+            w = v[jnp.asarray(ev.con_rows)]
+            _, evjp = jax.vjp(lambda xl: ev._call_f(xl, self.dtype), x[vix])
+            out = out.at[vix].add(evjp(w)[0])
+        return out
 
     def _hprod_impl(self, st, x, y, v, obj_weight, theta):
         def lag(xx):
-            val = obj_weight * self._obj_impl(st, xx, theta)
+            val = obj_weight * self._obj_simd(st, xx, theta)
             if self._con_pats:
-                val = val + jnp.dot(y, self._cons_impl(st, xx, theta))
+                val = val + jnp.dot(y, self._cons_simd(st, xx, theta))
             return val
 
-        return jax.jvp(jax.grad(lag), (x,), (v,))[1]
+        out = jax.jvp(jax.grad(lag), (x,), (v,))[1]
+        for o, off in self._oracles:
+            w = y[off : off + o.ncon]
+            if o.hvp is not None:
+                out = out + jnp.asarray(o.hvp(x, w, v), dtype=self.dtype)
+            elif o.jit_compatible:
+                olag = lambda xx, o=o, w=w: jnp.vdot(w, o._call_f(xx, self.dtype))  # noqa: E731
+                out = out + jax.jvp(jax.grad(olag), (x,), (v,))[1]
+            else:  # symmetric COO product through explicit Hessian values
+                hv = o._call_hess(x, w, self.dtype)
+                hr = jnp.asarray(o.hess_rows)
+                hc = jnp.asarray(o.hess_cols)
+                out = out + jax.ops.segment_sum(
+                    hv * v[hc], hr, num_segments=self.nvar
+                )
+                out = out + jax.ops.segment_sum(
+                    jnp.where(hr == hc, 0.0, hv) * v[hr], hc,
+                    num_segments=self.nvar,
+                )
+        for so in self._scalar_oracles:
+            if so.hvp is not None:
+                out = out + obj_weight * jnp.asarray(so.hvp(x, v), dtype=self.dtype)
+            elif so.jit_compatible:
+                out = out + obj_weight * jax.jvp(
+                    lambda xx: so._call_grad(xx, self.dtype), (x,), (v,)
+                )[1]
+        for ev in self._evals:
+            vix = jnp.asarray(ev.var_idx)
+            yl = y[jnp.asarray(ev.con_rows)]
+            elag = lambda xl, ev=ev, yl=yl: jnp.vdot(yl, ev._call_f(xl, self.dtype))  # noqa: E731
+            out = out.at[vix].add(jax.jvp(jax.grad(elag), (x[vix],), (v[vix],))[1])
+        return out
 
     # ------------------------------------------------------------------
     # public API

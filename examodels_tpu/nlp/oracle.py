@@ -1,0 +1,310 @@
+"""Oracle/callback subsystem — opaque user functions mixed with the symbolic
+SIMD model (capability parity: /root/reference/src/oracle.jl, redesigned for
+JAX semantics).
+
+Reference semantics kept:
+  * `VectorNonlinearOracle` — an opaque constraint block with residual
+    callback plus explicit Jacobian/Hessian callbacks (static sparsity)
+    and/or matrix-free jvp/vjp/hvp callbacks (oracle.jl:45-186);
+  * `ScalarNonlinearOracle` — opaque objective term (oracle.jl:189-263);
+  * `OracleEvaluator` + `add_eval` — callbacks that accumulate into
+    *pre-existing* constraint rows over local index sets (oracle.jl:456-570);
+  * `embed_oracle` — full-space embedding z − f(x) = 0 with aux variables
+    (oracle.jl:1395-1513).
+
+JAX-native redesign:
+  * callbacks are *functional* (return arrays) instead of in-place writers;
+  * `jit_compatible=True` (default) callbacks are jnp-traceable and inline
+    into the jitted oracle methods — the analogue of `adapt=Val(false)`
+    device-capable callbacks;
+  * `jit_compatible=False` callbacks run on host via `jax.pure_callback`
+    with declared result shapes — the analogue of `adapt=Val(true)` CPU
+    shadow-buffer bridging (oracle.jl:91-96);
+  * matrix-free products default to COO segment-sum products through the
+    oracle's explicit Jacobian/Hessian when jvp/vjp/hvp are not supplied —
+    the device SpMV path of ext/ExaModelsKernelAbstractions.jl:369-511.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "VectorNonlinearOracle",
+    "ScalarNonlinearOracle",
+    "OracleEvaluator",
+    "embed_oracle",
+    "has_matfree_jac",
+    "has_matfree_hess",
+]
+
+
+@dataclass
+class VectorNonlinearOracle:
+    """Opaque nonlinear constraint block.
+
+    f(x) -> (ncon,) residuals. Optional explicit `jac(x) -> (nnzj,)` values
+    on the declared (jac_rows, jac_cols) sparsity, `hess(x, y) -> (nnzh,)`
+    lower-triangle values on (hess_rows, hess_cols); optional matrix-free
+    `jvp(x, v)`, `vjp(x, w)`, `hvp(x, w, v)`.
+    """
+
+    nvar: int
+    ncon: int
+    f: Callable
+    lcon: Optional[Sequence] = None
+    ucon: Optional[Sequence] = None
+    jac: Optional[Callable] = None
+    jac_rows: Optional[Sequence] = None  # rows into this oracle's block, 0-based
+    jac_cols: Optional[Sequence] = None
+    hess: Optional[Callable] = None
+    hess_rows: Optional[Sequence] = None  # lower triangle over x, 0-based
+    hess_cols: Optional[Sequence] = None
+    jvp: Optional[Callable] = None
+    vjp: Optional[Callable] = None
+    hvp: Optional[Callable] = None
+    jit_compatible: bool = True
+    name: str = "oracle"
+
+    def __post_init__(self):
+        if self.jac is None and not (self.jvp and self.vjp) and not self.jit_compatible:
+            raise ValueError(
+                "provide jac or (jvp and vjp), or a jit_compatible f "
+                "(auto-differentiated)"
+            )
+        self.lcon = np.zeros(self.ncon) if self.lcon is None else np.asarray(
+            self.lcon, dtype=np.float64
+        )
+        self.ucon = np.zeros(self.ncon) if self.ucon is None else np.asarray(
+            self.ucon, dtype=np.float64
+        )
+        if self.jac is not None:
+            if self.jac_rows is None or self.jac_cols is None:
+                raise ValueError("explicit jac requires jac_rows/jac_cols")
+            self.jac_rows = np.asarray(self.jac_rows, dtype=np.int32)
+            self.jac_cols = np.asarray(self.jac_cols, dtype=np.int32)
+        elif self.jit_compatible:
+            # auto-dense structure, values from jax.jacfwd at call time
+            # (reference auto-dense fallback, oracle.jl:117-126)
+            r, c = np.meshgrid(
+                np.arange(self.ncon), np.arange(self.nvar), indexing="ij"
+            )
+            self.jac_rows = r.reshape(-1).astype(np.int32)
+            self.jac_cols = c.reshape(-1).astype(np.int32)
+        else:
+            self.jac_rows = np.zeros(0, np.int32)
+            self.jac_cols = np.zeros(0, np.int32)
+        if self.hess is not None:
+            if self.hess_rows is None or self.hess_cols is None:
+                raise ValueError("explicit hess requires hess_rows/hess_cols")
+            self.hess_rows = np.asarray(self.hess_rows, dtype=np.int32)
+            self.hess_cols = np.asarray(self.hess_cols, dtype=np.int32)
+            if (self.hess_rows < self.hess_cols).any():
+                raise ValueError("hessian structure must be lower triangle")
+        elif self.jit_compatible:
+            r, c = np.tril_indices(self.nvar)
+            self.hess_rows = r.astype(np.int32)
+            self.hess_cols = c.astype(np.int32)
+        else:
+            self.hess_rows = np.zeros(0, np.int32)
+            self.hess_cols = np.zeros(0, np.int32)
+
+    @property
+    def nnzj(self):
+        return len(self.jac_rows)
+
+    @property
+    def nnzh(self):
+        return len(self.hess_rows)
+
+    # -- callable wrappers (traceable under jit) ---------------------------
+    def _call_f(self, x, dtype):
+        if self.jit_compatible:
+            return jnp.asarray(self.f(x), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv: np.asarray(self.f(np.asarray(xv)), dtype=dtype),
+            jax.ShapeDtypeStruct((self.ncon,), dtype),
+            x,
+            vmap_method="sequential",
+        )
+
+    def _call_jac(self, x, dtype):
+        if self.jac is not None:
+            if self.jit_compatible:
+                return jnp.asarray(self.jac(x), dtype=dtype)
+            return jax.pure_callback(
+                lambda xv: np.asarray(self.jac(np.asarray(xv)), dtype=dtype),
+                jax.ShapeDtypeStruct((self.nnzj,), dtype),
+                x,
+                vmap_method="sequential",
+            )
+        # auto-dense via forward AD of the traceable residual
+        J = jax.jacfwd(lambda xx: jnp.asarray(self.f(xx), dtype=dtype))(x)
+        return J.reshape(-1)
+
+    def _call_hess(self, x, y, dtype):
+        if self.hess is not None:
+            if self.jit_compatible:
+                return jnp.asarray(self.hess(x, y), dtype=dtype)
+            return jax.pure_callback(
+                lambda xv, yv: np.asarray(
+                    self.hess(np.asarray(xv), np.asarray(yv)), dtype=dtype
+                ),
+                jax.ShapeDtypeStruct((self.nnzh,), dtype),
+                x,
+                y,
+                vmap_method="sequential",
+            )
+        lag = lambda xx: jnp.vdot(y, jnp.asarray(self.f(xx), dtype=dtype))  # noqa: E731
+        H = jax.hessian(lag)(x)
+        return H[self.hess_rows, self.hess_cols]
+
+
+def has_matfree_jac(o: VectorNonlinearOracle) -> bool:
+    """Parity: /root/reference/src/oracle.jl matrix-free capability query."""
+    return o.jvp is not None and o.vjp is not None
+
+
+def has_matfree_hess(o: VectorNonlinearOracle) -> bool:
+    return o.hvp is not None
+
+
+@dataclass
+class ScalarNonlinearOracle:
+    """Opaque scalar objective term: f(x) -> scalar, optional grad(x),
+    hvp(x, v) (parity: oracle.jl:189-263)."""
+
+    nvar: int
+    f: Callable
+    grad: Optional[Callable] = None
+    hvp: Optional[Callable] = None
+    jit_compatible: bool = True
+    name: str = "scalar_oracle"
+
+    def _call_f(self, x, dtype):
+        if self.jit_compatible:
+            return jnp.asarray(self.f(x), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv: np.asarray(self.f(np.asarray(xv)), dtype=dtype).reshape(()),
+            jax.ShapeDtypeStruct((), dtype),
+            x,
+            vmap_method="sequential",
+        )
+
+    def _call_grad(self, x, dtype):
+        if self.grad is not None:
+            if self.jit_compatible:
+                return jnp.asarray(self.grad(x), dtype=dtype)
+            return jax.pure_callback(
+                lambda xv: np.asarray(self.grad(np.asarray(xv)), dtype=dtype),
+                jax.ShapeDtypeStruct((self.nvar,), dtype),
+                x,
+                vmap_method="sequential",
+            )
+        return jax.grad(lambda xx: jnp.asarray(self.f(xx), dtype=dtype))(x)
+
+
+@dataclass
+class OracleEvaluator:
+    """Callback block that accumulates into *pre-existing* constraint rows
+    over local variable/constraint index sets (parity: OracleEvaluator /
+    add_eval, oracle.jl:456-570, 1272-1393).
+
+    var_idx: global x indices gathered into the local vector xl.
+    con_rows: global constraint rows receiving f's contributions.
+    f(xl) -> (len(con_rows),) contributions (accumulated with +=).
+    jac(xl) -> (nnzj,) on (jac_rows ⊂ local cons, jac_cols ⊂ local vars).
+    hess(xl, yl) -> (nnzh,) lower triangle over local vars.
+    """
+
+    var_idx: Sequence
+    con_rows: Sequence
+    f: Callable
+    jac: Optional[Callable] = None
+    jac_rows: Optional[Sequence] = None
+    jac_cols: Optional[Sequence] = None
+    hess: Optional[Callable] = None
+    hess_rows: Optional[Sequence] = None
+    hess_cols: Optional[Sequence] = None
+    jit_compatible: bool = True
+    name: str = "eval"
+
+    def __post_init__(self):
+        self.var_idx = np.asarray(self.var_idx, dtype=np.int32)
+        self.con_rows = np.asarray(self.con_rows, dtype=np.int32)
+        nl, ml = len(self.var_idx), len(self.con_rows)
+        if self.jac is None:
+            r, c = np.meshgrid(np.arange(ml), np.arange(nl), indexing="ij")
+            self.jac_rows = r.reshape(-1).astype(np.int32)
+            self.jac_cols = c.reshape(-1).astype(np.int32)
+        else:
+            self.jac_rows = np.asarray(self.jac_rows, dtype=np.int32)
+            self.jac_cols = np.asarray(self.jac_cols, dtype=np.int32)
+        if self.hess is None:
+            r, c = np.tril_indices(nl)
+            self.hess_rows = r.astype(np.int32)
+            self.hess_cols = c.astype(np.int32)
+        else:
+            self.hess_rows = np.asarray(self.hess_rows, dtype=np.int32)
+            self.hess_cols = np.asarray(self.hess_cols, dtype=np.int32)
+
+    def _call_f(self, xl, dtype):
+        return jnp.asarray(self.f(xl), dtype=dtype)
+
+    def _call_jac(self, xl, dtype):
+        if self.jac is not None:
+            return jnp.asarray(self.jac(xl), dtype=dtype)
+        return jax.jacfwd(lambda xx: jnp.asarray(self.f(xx), dtype=dtype))(
+            xl
+        ).reshape(-1)
+
+    def _call_hess(self, xl, yl, dtype):
+        if self.hess is not None:
+            return jnp.asarray(self.hess(xl, yl), dtype=dtype)
+        lag = lambda xx: jnp.vdot(yl, jnp.asarray(self.f(xx), dtype=dtype))  # noqa: E731
+        H = jax.hessian(lag)(xl)
+        return H[self.hess_rows, self.hess_cols]
+
+
+def embed_oracle(core, oracle_fn, n_out, var_handles=None, *, name=None,
+                 jit_compatible=True, lcon=None, ucon=None):
+    """Full-space embedding (parity: oracle.jl:1395-1513): create aux
+    variables z, register the oracle block z − f(x_gathered) = 0, and return
+    the z handle so z can appear in further symbolic patterns.
+
+    oracle_fn(xl) -> (n_out,) over the gathered local variables of
+    `var_handles` (all variables when None).
+    """
+    import numpy as np
+
+    if var_handles is None:
+        var_idx = np.arange(core.nvar, dtype=np.int32)
+    else:
+        var_idx = np.concatenate(
+            [h.offset + np.arange(h.size, dtype=np.int32) for h in var_handles]
+        )
+    z = core.add_var(n_out, name=name and f"{name}_z")
+    nvar_now = core.nvar
+    z_idx = z.offset + np.arange(n_out, dtype=np.int32)
+
+    def f(x):
+        return x[jnp.asarray(z_idx)] - jnp.asarray(
+            oracle_fn(x[jnp.asarray(var_idx)])
+        )
+
+    o = VectorNonlinearOracle(
+        nvar=nvar_now,
+        ncon=n_out,
+        f=f,
+        lcon=lcon,
+        ucon=ucon,
+        jit_compatible=jit_compatible,
+        name=name or "embedded",
+    )
+    core.add_oracle(o)
+    return z, o
