@@ -67,6 +67,7 @@ from .nlp.oracle import (  # noqa: E402
     has_matfree_jac,
 )
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
+from .solver.ipm_device import madipm_device  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 
 __all__ = [
@@ -93,6 +94,7 @@ __all__ = [
     "multipliers_L",
     "multipliers_U",
     "madipm",
+    "madipm_device",
     "IPMOptions",
     "IPMResult",
     "EachScenario",

@@ -1,0 +1,398 @@
+"""Fully on-device interior-point solver: the entire filter line-search
+iteration — oracle evaluation, KKT factorization with inertia-free
+regularization, fraction-to-boundary, filter line search, barrier updates —
+is ONE compiled XLA program (`lax.while_loop`), so solving costs a single
+device dispatch. This is the TPU-native counterpart of the host-driven
+`madipm` (ipm.py), which keeps Python control flow for its feasibility
+restoration and second-order correction; `madipm_device` trades those
+rarely-taken branches for zero per-iteration host synchronization
+(the "IPM iters/sec" path of BASELINE.json).
+
+Algorithm per iteration (Wächter–Biegler, as in ipm.py):
+  evals → termination test → Fiacco-McCormick μ cascade (closed-form comp
+  update) → blocktri/dense KKT solve inside a bounded δw while_loop with the
+  curvature test → dual directions → fraction-to-boundary → backtracking
+  filter line search (fixed-size device filter, masked vector compare) →
+  state update + dual safeguard.
+
+Falls back: returns status "stalled" when the line search cannot accept;
+callers needing restoration re-solve with the host IPM.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ipm import IPMOptions, IPMResult, _Funcs, _BIG
+from .kkt import DenseKKT, build_structure
+
+_RUNNING, _FIRST_ORDER, _ACCEPTABLE, _STALLED, _MAXITER, _DIVERGED = range(6)
+_STATUS_NAMES = {
+    _FIRST_ORDER: "first_order",
+    _ACCEPTABLE: "acceptable",
+    _STALLED: "stalled",
+    _MAXITER: "max_iter",
+    _DIVERGED: "diverged",
+}
+_NFILT = 64
+
+
+def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
+                  **kwargs) -> IPMResult:
+    opts = options or IPMOptions()
+    for k, v in kwargs.items():
+        if not hasattr(opts, k):
+            raise TypeError(f"unknown IPM option {k!r}")
+        setattr(opts, k, v)
+
+    t0 = time.time()
+    dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
+    structure = build_structure(model)
+    nx, ns, m = structure.nx, structure.ns, structure.m
+    n = nx + ns
+
+    solver_kind = opts.linear_solver
+    if solver_kind is None:
+        solver_kind = "dense" if n + m <= opts.dense_limit else "blocktri"
+    if solver_kind == "blocktri":
+        from .blocktri import BlockTriKKT
+
+        kkt = BlockTriKKT(structure, dtype)
+    else:
+        kkt = DenseKKT(structure, dtype)
+
+    F = _Funcs(model, structure, dtype, opts)
+    theta_p = model.theta if theta is None else jnp.asarray(theta, dtype=dtype)
+
+    # bound relaxation (same as host path)
+    lraw, uraw = F.lraw.copy(), F.uraw.copy()
+    relax = opts.bound_relax_factor
+    l_np = np.where(lraw > -_BIG, lraw - relax * np.maximum(1.0, np.abs(lraw)), lraw)
+    u_np = np.where(uraw < _BIG, uraw + relax * np.maximum(1.0, np.abs(uraw)), uraw)
+    F.l = jnp.asarray(np.where(l_np > -_BIG, l_np, 0.0), dtype=dtype)
+    F.u = jnp.asarray(np.where(u_np < _BIG, u_np, 0.0), dtype=dtype)
+    has_l, has_u = np.asarray(F.has_l), np.asarray(F.has_u)
+
+    # initial point
+    x0 = np.asarray(model.x0, dtype=np.float64)
+    c0 = F.con_scale_np * np.asarray(model.cons(model.x0, theta=theta_p))
+    s0 = c0[structure.ineq_rows] if ns else np.zeros(0)
+    v = np.concatenate([x0, s0])
+    for i in range(n):
+        li, ui = l_np[i], u_np[i]
+        if has_l[i] and has_u[i]:
+            p = min(opts.kappa_1 * max(1.0, abs(li)), opts.kappa_2 * (ui - li))
+            v[i] = min(max(v[i], li + p), ui - p)
+        elif has_l[i]:
+            v[i] = max(v[i], li + opts.kappa_1 * max(1.0, abs(li)))
+        elif has_u[i]:
+            v[i] = min(v[i], ui - opts.kappa_1 * max(1.0, abs(ui)))
+    v = jnp.asarray(v, dtype=dtype)
+    zl = jnp.where(F.has_l, 1.0, 0.0).astype(dtype)
+    zu = jnp.where(F.has_u, 1.0, 0.0).astype(dtype)
+    y = jnp.zeros(m, dtype=dtype)
+    if m:
+        ev0 = F.evals(v, y, zl, zu, opts.mu_init, theta_p)
+        _, y_ls, ok_ls = kkt.solve(
+            jnp.zeros_like(ev0["hvals"]), ev0["jvals"],
+            jnp.ones(n, dtype=dtype), jnp.zeros(n, dtype=dtype),
+            jnp.asarray(1.0, dtype=dtype),
+            -(ev0["g"] - jnp.where(F.has_l, zl, 0.0) + jnp.where(F.has_u, zu, 0.0)),
+            jnp.zeros(m, dtype=dtype),
+        )
+        if bool(ok_ls) and float(jnp.max(jnp.abs(y_ls), initial=0.0)) <= opts.y_init_max:
+            y = y_ls
+
+    theta_0 = float(F.theta(v, theta_p))
+    theta_max = 1e4 * max(1.0, theta_0)
+    theta_min = 1e-4 * max(1.0, theta_0)
+    n_bound = int(has_l.sum() + has_u.sum())
+    mu_floor = opts.mu_min_factor * opts.tol
+
+    solve_loop = _build_loop(
+        F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor
+    )
+    out = solve_loop(v, y, zl, zu, theta_p)
+    out = jax.device_get(out)
+    v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
+    status = _STATUS_NAMES.get(int(out["status"]), "unknown")
+
+    sign = 1.0 if model.minimize else -1.0
+    unscale = F.con_scale / F.sigma_f
+    return IPMResult(
+        x=v[:nx],
+        y=sign * unscale * y,
+        zl=sign * zl[:nx] / F.sigma_f,
+        zu=sign * zu[:nx] / F.sigma_f,
+        status=status,
+        objective=float(model.obj(v[:nx], theta=theta_p)),
+        iterations=int(out["it"]),
+        primal_infeasibility=float(out["prim_inf"]),
+        dual_infeasibility=float(out["dual_inf"]),
+        complementarity=float(out["comp"]),
+        wall_time=time.time() - t0,
+        mu=float(out["mu"]),
+    )
+
+
+def _build_loop(F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor):
+    """Compile the full IPM as one jitted while_loop program."""
+
+    big = jnp.asarray(1e30, dtype)
+
+    def kkt_error_parts(ev, y, zl, zu):
+        sd = jnp.maximum(
+            opts.s_max,
+            (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu)))
+            / max(1, m + n_bound),
+        ) / opts.s_max
+        sc = jnp.maximum(
+            opts.s_max,
+            (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))) / max(1, n_bound),
+        ) / opts.s_max
+        dual_inf = jnp.max(jnp.abs(ev["r_d"]), initial=0.0)
+        prim_inf = jnp.max(jnp.abs(ev["r"]), initial=0.0)
+        comp = jnp.maximum(
+            jnp.max(jnp.abs(ev["comp_l"]), initial=0.0),
+            jnp.max(jnp.abs(ev["comp_u"]), initial=0.0),
+        )
+        return sd, sc, dual_inf, prim_inf, comp
+
+    def body(st):
+        v, y, zl, zu = st["v"], st["y"], st["zl"], st["zu"]
+        mu, tau = st["mu"], st["tau"]
+
+        ev = F.evals(v, y, zl, zu, mu, st["theta_p"])
+        sd, sc, dual_inf, prim_inf, comp0 = kkt_error_parts(ev, y, zl, zu)
+        # μ-independent error: comp with μ = 0 is |dl·zl|, |du·zu|
+        a_l = jnp.where(F.has_l, ev["dl"] * zl, 0.0)
+        a_u = jnp.where(F.has_u, ev["du"] * zu, 0.0)
+        comp00 = jnp.maximum(
+            jnp.max(jnp.abs(a_l), initial=0.0), jnp.max(jnp.abs(a_u), initial=0.0)
+        )
+        E0 = jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, comp00 / sc))
+
+        finite = jnp.isfinite(ev["f"]) & jnp.isfinite(ev["theta"])
+        status = jnp.where(~finite, _DIVERGED, st["status"])
+        status = jnp.where(finite & (E0 <= opts.tol), _FIRST_ORDER, status)
+        n_acc = jnp.where(
+            E0 <= opts.acceptable_tol, st["n_acc"] + 1, jnp.zeros_like(st["n_acc"])
+        )
+        status = jnp.where(
+            (status == _RUNNING) & (n_acc >= opts.acceptable_iter),
+            _ACCEPTABLE,
+            status,
+        )
+
+        # ---- Fiacco-McCormick cascade (closed-form comp(μ)) --------------
+        def mu_err(mu_):
+            cl = jnp.max(jnp.abs(a_l - jnp.where(F.has_l, mu_, 0.0)), initial=0.0)
+            cu = jnp.max(jnp.abs(a_u - jnp.where(F.has_u, mu_, 0.0)), initial=0.0)
+            return jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, jnp.maximum(cl, cu) / sc))
+
+        def mu_step(_, mu_):
+            upd = (mu_ > mu_floor) & (mu_err(mu_) <= opts.kappa_eps * mu_)
+            new = jnp.maximum(mu_floor, jnp.minimum(opts.kappa_mu * mu_, mu_ ** opts.theta_mu))
+            return jnp.where(upd, new, mu_)
+
+        mu_new = jax.lax.fori_loop(0, 8, mu_step, mu)
+        mu_changed = mu_new != mu
+        mu = mu_new
+        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
+        # filter reset on μ change
+        filt_th = jnp.where(mu_changed, jnp.full(_NFILT, big), st["filt_th"])
+        filt_ph = jnp.where(mu_changed, jnp.full(_NFILT, -big), st["filt_ph"])
+        nfilt = jnp.where(mu_changed, 0, st["nfilt"])
+        # re-evaluate barrier quantities for the (possibly) new μ
+        ev = F.evals(v, y, zl, zu, mu, st["theta_p"])
+
+        # ---- KKT with inertia-free δw loop --------------------------------
+        dc = opts.delta_c_bar * jnp.maximum(mu ** opts.kappa_c, 1e-10)
+        trial_w = jnp.where(
+            st["dw_last"] == 0.0,
+            opts.delta_w0,
+            jnp.maximum(opts.delta_w_min, opts.kappa_w_minus * st["dw_last"]),
+        )
+
+        def kkt_cond(c):
+            dw, dv, dy, ok, trips = c
+            return (~ok) & (trips < 40)
+
+        def kkt_body(c):
+            dw, dv, dy, ok, trips = c
+            dv2, dy2, pd_ok = kkt.solve(
+                ev["hvals"], ev["jvals"], ev["sigma"],
+                jnp.full(n, dw, dtype=dtype), dc, ev["r1"], -ev["r"],
+            )
+            curv = F.curvature(ev["hvals"], ev["sigma"], dw, dv2)
+            good = pd_ok & jnp.isfinite(dv2).all() & (
+                curv >= opts.curvature_kappa * jnp.vdot(dv2, dv2)
+            )
+            dw_next = jnp.where(
+                good, dw, jnp.where(dw == 0.0, trial_w, dw * opts.kappa_w_plus)
+            )
+            return (dw_next, jnp.where(good, dv2, dv), jnp.where(good, dy2, dy),
+                    good, trips + 1)
+
+        dw0 = jnp.asarray(0.0, dtype)
+        dv0 = jnp.zeros(n, dtype=dtype)
+        dy0 = jnp.zeros(m, dtype=dtype)
+        dw, dv, dy, kkt_ok, _ = jax.lax.while_loop(
+            kkt_cond, kkt_body, (dw0, dv0, dy0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        )
+        status = jnp.where((status == _RUNNING) & ~kkt_ok, _STALLED, status)
+        dw_last = jnp.where(dw > 0, dw, st["dw_last"])
+
+        dl, du = ev["dl"], ev["du"]
+        dzl = jnp.where(F.has_l, mu / dl - zl - zl * dv / dl, 0.0)
+        dzu = jnp.where(F.has_u, mu / du - zu + zu * dv / du, 0.0)
+
+        def alpha_fraction():
+            a_l_ = jnp.where(F.has_l & (dv < 0), -tau * dl / jnp.where(dv < 0, dv, -1.0), 1.0)
+            a_u_ = jnp.where(F.has_u & (dv > 0), tau * du / jnp.where(dv > 0, dv, 1.0), 1.0)
+            ap = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l_, initial=1.0), jnp.min(a_u_, initial=1.0)))
+            a_zl = jnp.where(F.has_l & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), 1.0)
+            a_zu = jnp.where(F.has_u & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), 1.0)
+            ad = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=1.0), jnp.min(a_zu, initial=1.0)))
+            return ap, ad
+
+        alpha_max, alpha_z = alpha_fraction()
+
+        theta_cur = ev["theta"]
+        phi_cur = ev["phi"]
+        gphi_dv = (
+            jnp.vdot(ev["g"], dv)
+            - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
+            + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0))
+        )
+
+        alpha_min = jnp.where(
+            gphi_dv < 0,
+            opts.alpha_min_frac
+            * jnp.minimum(
+                opts.gamma_theta,
+                jnp.minimum(
+                    opts.gamma_phi * theta_cur / jnp.maximum(-gphi_dv, 1e-300),
+                    jnp.where(
+                        theta_cur <= theta_min,
+                        opts.delta * theta_cur ** opts.s_theta
+                        / jnp.maximum((-gphi_dv) ** opts.s_phi, 1e-300),
+                        big,
+                    ),
+                ),
+            ),
+            opts.alpha_min_frac * opts.gamma_theta,
+        )
+        alpha_min = jnp.maximum(alpha_min, 1e-16)
+
+        # ---- backtracking filter line search ------------------------------
+        def ls_cond(c):
+            alpha, accepted, ftype, trials = c
+            return (~accepted) & (trials < opts.max_ls) & (alpha >= alpha_min)
+
+        def ls_body(c):
+            alpha, accepted, ftype, trials = c
+            v_t = v + alpha * dv
+            phi_t, theta_t = F.trial_eval(v_t, mu, st["theta_p"])
+            filter_ok = jnp.all(
+                (theta_t <= (1 - opts.gamma_theta) * filt_th)
+                | (phi_t <= filt_ph - opts.gamma_phi * filt_th)
+            ) & (theta_t < theta_max) & jnp.isfinite(phi_t) & jnp.isfinite(theta_t)
+            switching = (
+                (gphi_dv < 0)
+                & (alpha * (-gphi_dv) ** opts.s_phi > opts.delta * theta_cur ** opts.s_theta)
+                & (theta_cur <= theta_min)
+            )
+            armijo = phi_t <= phi_cur + opts.eta_phi * alpha * gphi_dv
+            suff = (theta_t <= (1 - opts.gamma_theta) * theta_cur) | (
+                phi_t <= phi_cur - opts.gamma_phi * theta_cur
+            )
+            ok = filter_ok & jnp.where(switching, armijo, suff)
+            ftype_new = jnp.where(ok, switching, ftype)
+            return (
+                jnp.where(ok, alpha, alpha * 0.5),
+                accepted | ok,
+                ftype_new,
+                trials + 1,
+            )
+
+        alpha, accepted, f_type, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (alpha_max, jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+        )
+        status = jnp.where((status == _RUNNING) & ~accepted, _STALLED, status)
+
+        # filter augmentation (circular) for h-type steps
+        slot = jnp.mod(nfilt, _NFILT)
+        aug = accepted & ~f_type
+        filt_th = jnp.where(
+            aug, filt_th.at[slot].set((1 - opts.gamma_theta) * theta_cur), filt_th
+        )
+        filt_ph = jnp.where(
+            aug, filt_ph.at[slot].set(phi_cur - opts.gamma_phi * theta_cur), filt_ph
+        )
+        nfilt = jnp.where(aug, nfilt + 1, nfilt)
+
+        step_ok = accepted & (status == _RUNNING)
+        scale = jnp.where(step_ok, 1.0, 0.0)
+        v2 = v + scale * alpha * dv
+        y2 = y + scale * alpha * dy
+        zl2 = zl + scale * alpha_z * dzl
+        zu2 = zu + scale * alpha_z * dzu
+        dl2 = jnp.where(F.has_l, v2 - F.l, 1.0)
+        du2 = jnp.where(F.has_u, F.u - v2, 1.0)
+        zl2 = jnp.where(
+            F.has_l,
+            jnp.clip(zl2, mu / (opts.kappa_sigma * dl2), opts.kappa_sigma * mu / dl2),
+            0.0,
+        )
+        zu2 = jnp.where(
+            F.has_u,
+            jnp.clip(zu2, mu / (opts.kappa_sigma * du2), opts.kappa_sigma * mu / du2),
+            0.0,
+        )
+
+        it = st["it"] + 1
+        status = jnp.where(
+            (status == _RUNNING) & (it >= opts.max_iter), _MAXITER, status
+        )
+
+        return dict(
+            v=v2, y=y2, zl=zl2, zu=zu2,
+            mu=mu, tau=tau, dw_last=dw_last,
+            filt_th=filt_th, filt_ph=filt_ph, nfilt=nfilt,
+            it=it, status=status, n_acc=n_acc,
+            prim_inf=prim_inf, dual_inf=dual_inf, comp=comp00,
+            theta_p=st["theta_p"],
+        )
+
+    def cond(st):
+        return st["status"] == _RUNNING
+
+    @jax.jit
+    def run(v, y, zl, zu, theta_p):
+        st = dict(
+            v=v, y=y, zl=zl, zu=zu,
+            mu=jnp.asarray(opts.mu_init, dtype),
+            tau=jnp.asarray(max(opts.tau_min, 1.0 - opts.mu_init), dtype),
+            dw_last=jnp.asarray(0.0, dtype),
+            filt_th=jnp.full(_NFILT, big, dtype=dtype),
+            filt_ph=jnp.full(_NFILT, -big, dtype=dtype),
+            nfilt=jnp.asarray(0, jnp.int32),
+            it=jnp.asarray(0, jnp.int32),
+            status=jnp.asarray(_RUNNING, jnp.int32),
+            n_acc=jnp.asarray(0, jnp.int32),
+            prim_inf=jnp.asarray(jnp.inf, dtype),
+            dual_inf=jnp.asarray(jnp.inf, dtype),
+            comp=jnp.asarray(jnp.inf, dtype),
+            theta_p=theta_p,
+        )
+        return jax.lax.while_loop(cond, body, st)
+
+    return run

@@ -1,0 +1,49 @@
+"""On-device IPM (`madipm_device`): agreement with the host IPM and the
+Ipopt anchors — the whole solve is one lax.while_loop XLA program."""
+
+import numpy as np
+
+from examodels_tpu import madipm, madipm_device
+from examodels_tpu.models import (
+    LUKSAN_VLCEK_10_SOLUTION,
+    ac_opf_model,
+    camshape_model,
+    luksan_vlcek_model,
+)
+
+
+class TestDeviceIPM:
+    def test_lv10_anchor(self):
+        r = madipm_device(luksan_vlcek_model(10), tol=1e-8)
+        assert r.status == "first_order"
+        np.testing.assert_allclose(
+            np.asarray(r.x), LUKSAN_VLCEK_10_SOLUTION, atol=1e-6
+        )
+
+    def test_matches_host_on_inequalities(self):
+        m = camshape_model(30)
+        r1 = madipm(m, tol=1e-8, max_iter=100)
+        r2 = madipm_device(m, tol=1e-8, max_iter=100)
+        assert r1.status == "first_order" and r2.status == "first_order"
+        assert abs(r1.objective - r2.objective) < 1e-8
+
+    def test_opf(self):
+        m = ac_opf_model(30)
+        r = madipm_device(m, tol=1e-8, max_iter=100)
+        assert r.status == "first_order"
+        rh = madipm(m, tol=1e-8, max_iter=100)
+        assert abs(r.objective - rh.objective) < 1e-6 * max(1, abs(rh.objective))
+
+    def test_parameter_resolve_without_retrace(self):
+        """set_parameter + re-solve must reuse the compiled loop."""
+        import examodels_tpu as et
+
+        c = et.ExaCore()
+        x = c.add_var(3, start=0.5)
+        th = c.add_par([1.0, 2.0, 3.0])
+        c.add_obj(lambda i: th[i] * (x[i] - th[i]) ** 2, range(3))
+        m = et.ExaModel(c)
+        r1 = madipm_device(m, tol=1e-10)
+        np.testing.assert_allclose(np.asarray(r1.x), [1.0, 2.0, 3.0], atol=1e-7)
+        r2 = madipm_device(m, tol=1e-10, theta=np.array([2.0, 1.0, 0.5]))
+        np.testing.assert_allclose(np.asarray(r2.x), [2.0, 1.0, 0.5], atol=1e-7)
