@@ -21,10 +21,23 @@ Design notes (TPU-first):
 
 import os as _os
 
-if not _os.environ.get("EXAMODELS_TPU_NO_X64"):
-    import jax as _jax
+import jax as _jax
 
+if not _os.environ.get("EXAMODELS_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
+
+# persistent XLA compilation cache: first compiles of the jitted oracle /
+# KKT / IPM programs are expensive (especially through remote TPU tunnels);
+# cache them across processes. EXAMODELS_TPU_NO_CACHE=1 disables.
+if not _os.environ.get("EXAMODELS_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "EXAMODELS_TPU_CACHE_DIR", "/tmp/examodels_tpu_xla_cache"
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # older jax without the option
+        pass
 
 from .core.graph import (  # noqa: E402
     Node,

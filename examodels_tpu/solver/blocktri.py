@@ -65,9 +65,16 @@ class BlockTriKKT:
     """
 
     def __init__(self, structure: KKTStructure, dtype=jnp.float64,
-                 min_block: int = 128, max_block: int = 4096):
+                 min_block: int = 128, max_block: int = 4096,
+                 factor_dtype=None, ir_rounds: int = 3):
+        """`factor_dtype` (e.g. jnp.float32) factorizes in lower precision
+        on the MXU with Jacobi equilibration, recovering accuracy via
+        `ir_rounds` of iterative refinement in `dtype` — the mixed-precision
+        strategy for TPUs whose f64 is emulated (v5e)."""
         self.s = structure
         self.dtype = dtype
+        self.factor_dtype = factor_dtype or dtype
+        self.ir_rounds = ir_rounds if factor_dtype is None else max(ir_rounds, 6)
         s = structure
         n, m = s.n, s.m
 
@@ -218,70 +225,90 @@ class BlockTriKKT:
             D = D.at[bi, oi, oi].add(1.0)
         return D, E
 
-    def _chol_blocktri(self, D, E):
-        """Block-tridiagonal Cholesky: returns (L_diag, L_sub, ok)."""
+    def _equilibrate(self, D, E):
+        """Jacobi scaling s = 1/√diag(K); returns scaled (D, E, s) with
+        blocks cast to factor_dtype."""
         b, nb = self.b, self.nb
+        diag = jnp.diagonal(D, axis1=1, axis2=2)  # (nb, b)
+        s = jax.lax.rsqrt(jnp.maximum(diag, 1e-300))
+        Ds = D * s[:, :, None] * s[:, None, :]
+        if nb > 1:
+            Es = E * s[1:, :, None] * s[:-1, None, :]
+        else:
+            Es = E
+        return (
+            Ds.astype(self.factor_dtype),
+            Es.astype(self.factor_dtype),
+            s,
+        )
+
+    def _chol_blocktri(self, D, E):
+        """Block-tridiagonal Cholesky. Returns (Linv, L_sub, ok) where
+        Linv[k] = L_k⁻¹ is materialized (one b×b triangular solve against I
+        per block) so the subsequent forward/backward sweeps are pure
+        matmuls — trisolves with vector right-hand sides are MXU-hostile,
+        matvecs with L⁻¹ are not."""
+        b, nb = self.b, self.nb
+        fdt = D.dtype
+        eye = jnp.eye(b, dtype=fdt)
 
         def step(carry, blocks):
             C_prev = carry  # L[k, k-1] (b, b); zeros for k = 0
             Dk, Ek = blocks  # Ek = A[k+1, k] (or zeros for last)
             Dk = Dk - C_prev @ C_prev.T
             Lk = jnp.linalg.cholesky(Dk)
-            # C_next = Ek @ Lk^{-T}: solve Lk Xᵀ = Ekᵀ
-            Xt = jax.scipy.linalg.solve_triangular(Lk, Ek.T, lower=True)
-            C_next = Xt.T
-            return C_next, (Lk, C_next)
+            Linv = jax.scipy.linalg.solve_triangular(Lk, eye, lower=True)
+            C_next = Ek @ Linv.T
+            return C_next, (Linv, C_next)
 
         E_in = jnp.concatenate(
-            [E, jnp.zeros((1, b, b), dtype=self.dtype)], axis=0
-        ) if nb > 1 else jnp.zeros((1, b, b), dtype=self.dtype)
+            [E, jnp.zeros((1, b, b), dtype=fdt)], axis=0
+        ) if nb > 1 else jnp.zeros((1, b, b), dtype=fdt)
         if nb == 1:
             L0 = jnp.linalg.cholesky(D[0])
-            ok = jnp.all(jnp.isfinite(L0))
-            return L0[None], jnp.zeros((0, b, b), dtype=self.dtype), ok
-        init = jnp.zeros((b, b), dtype=self.dtype)
-        _, (Ld, Cs) = jax.lax.scan(step, init, (D, E_in))
-        ok = jnp.all(jnp.isfinite(Ld))
-        return Ld, Cs[:-1], ok
+            Linv0 = jax.scipy.linalg.solve_triangular(L0, eye, lower=True)
+            ok = jnp.all(jnp.isfinite(Linv0))
+            return Linv0[None], jnp.zeros((0, b, b), dtype=fdt), ok
+        init = jnp.zeros((b, b), dtype=fdt)
+        _, (Linvs, Cs) = jax.lax.scan(step, init, (D, E_in))
+        ok = jnp.all(jnp.isfinite(Linvs))
+        return Linvs, Cs[:-1], ok
 
-    def _solve_blocktri(self, Ld, Ls, rhs):
-        """Solve L Lᵀ x = rhs with block-bidiagonal L (Ld diag, Ls sub)."""
+    def _solve_blocktri(self, Linv, Ls, rhs):
+        """Solve L Lᵀ x = rhs given materialized block inverses
+        (matmul-only sweeps)."""
         b, nb = self.b, self.nb
-        r = rhs.reshape(nb, b)
+        fdt = Linv.dtype
+        r = rhs.reshape(nb, b).astype(fdt)
 
         if nb == 1:
-            y = jax.scipy.linalg.solve_triangular(Ld[0], r[0], lower=True)
-            x = jax.scipy.linalg.solve_triangular(Ld[0].T, y, lower=False)
-            return x.reshape(-1)
+            y = Linv[0] @ r[0]
+            return (Linv[0].T @ y).reshape(-1)
 
         Ls_in = jnp.concatenate(
-            [jnp.zeros((1, b, b), dtype=self.dtype), Ls], axis=0
+            [jnp.zeros((1, b, b), dtype=fdt), Ls], axis=0
         )
 
         def fwd(carry, blocks):
             y_prev = carry
-            Lk, Ck, rk = blocks  # Ck = L[k, k-1]
-            yk = jax.scipy.linalg.solve_triangular(
-                Lk, rk - Ck @ y_prev, lower=True
-            )
+            Li, Ck, rk = blocks  # Ck = L[k, k-1]
+            yk = Li @ (rk - Ck @ y_prev)
             return yk, yk
 
-        _, Y = jax.lax.scan(fwd, jnp.zeros(b, dtype=self.dtype), (Ld, Ls_in, r))
+        _, Y = jax.lax.scan(fwd, jnp.zeros(b, dtype=fdt), (Linv, Ls_in, r))
 
         Ls_bwd = jnp.concatenate(
-            [Ls, jnp.zeros((1, b, b), dtype=self.dtype)], axis=0
+            [Ls, jnp.zeros((1, b, b), dtype=fdt)], axis=0
         )
 
         def bwd(carry, blocks):
             x_next = carry
-            Lk, Ck1, yk = blocks  # Ck1 = L[k+1, k]
-            xk = jax.scipy.linalg.solve_triangular(
-                Lk.T, yk - Ck1.T @ x_next, lower=False
-            )
+            Li, Ck1, yk = blocks  # Ck1 = L[k+1, k]
+            xk = Li.T @ (yk - Ck1.T @ x_next)
             return xk, xk
 
         _, X = jax.lax.scan(
-            bwd, jnp.zeros(b, dtype=self.dtype), (Ld, Ls_bwd, Y), reverse=True
+            bwd, jnp.zeros(b, dtype=fdt), (Linv, Ls_bwd, Y), reverse=True
         )
         return X.reshape(-1)
 
@@ -311,17 +338,20 @@ class BlockTriKKT:
         n = s.n
         avals = self._avals(jvals)
         D, E = self._assemble(hvals, jvals, sigma, dw, dc)
-        Ld, Ls, ok = self._chol_blocktri(D, E)
+        Df, Ef, sdiag = self._equilibrate(D, E)
+        Ld, Ls, ok = self._chol_blocktri(Df, Ef)
+        s_flat = sdiag.reshape(-1)
 
         perm = jnp.asarray(self.perm)
         invp = jnp.asarray(self.inv)
 
         def chol_solve(rhs_n):
-            # permute: rhs_new[i] = rhs[perm[i]]; pad to n_pad
+            # permute: rhs_new[i] = rhs[perm[i]]; pad to n_pad; apply the
+            # Jacobi scaling on both sides: x = S solve(S K S) S rhs
             rhs_p = jnp.zeros(self.n_pad, dtype=self.dtype)
             rhs_p = rhs_p.at[jnp.arange(n)].set(rhs_n[perm])
-            x_p = self._solve_blocktri(Ld, Ls, rhs_p)
-            return x_p[invp]
+            x_p = self._solve_blocktri(Ld, Ls, rhs_p * s_flat)
+            return (x_p.astype(self.dtype) * s_flat)[invp]
 
         rhs = r1 + self._At_mv(avals, r2) / dc
         dv = chol_solve(rhs)
@@ -339,7 +369,7 @@ class BlockTriKKT:
             cy = (self._A_mv(avals, cv) - e2) / dc
             return (dv + cv, dy + cy), None
 
-        (dv, dy), _ = jax.lax.scan(refine, (dv, dy), None, length=3)
+        (dv, dy), _ = jax.lax.scan(refine, (dv, dy), None, length=self.ir_rounds)
         pd_ok = ok & jnp.isfinite(dv).all()
         return dv, dy, pd_ok
 

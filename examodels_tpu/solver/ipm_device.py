@@ -54,21 +54,34 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
 
     t0 = time.time()
     dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
-    structure = build_structure(model)
+
+    # the compiled loop (and its _Funcs/KKT backends) is cached on the model
+    # keyed by the option set — repeat solves (warm starts, parameter
+    # sweeps) must not retrace (the zero-retrace discipline of SURVEY.md §7)
+    opts_key = tuple(
+        getattr(opts, f.name) for f in opts.__dataclass_fields__.values()
+    )
+    cache = model.__dict__.setdefault("_ipm_device_cache", {})
+    cached = cache.get(opts_key)
+
+    structure = build_structure(model) if cached is None else cached["structure"]
     nx, ns, m = structure.nx, structure.ns, structure.m
     n = nx + ns
 
-    solver_kind = opts.linear_solver
-    if solver_kind is None:
-        solver_kind = "dense" if n + m <= opts.dense_limit else "blocktri"
-    if solver_kind == "blocktri":
-        from .blocktri import BlockTriKKT
-
-        kkt = BlockTriKKT(structure, dtype)
+    if cached is not None:
+        kkt = cached["kkt"]
+        F = cached["F"]
     else:
-        kkt = DenseKKT(structure, dtype)
+        solver_kind = opts.linear_solver
+        if solver_kind is None:
+            solver_kind = "dense" if n + m <= opts.dense_limit else "blocktri"
+        if solver_kind == "blocktri":
+            from .blocktri import BlockTriKKT
 
-    F = _Funcs(model, structure, dtype, opts)
+            kkt = BlockTriKKT(structure, dtype)
+        else:
+            kkt = DenseKKT(structure, dtype)
+        F = _Funcs(model, structure, dtype, opts)
     theta_p = model.theta if theta is None else jnp.asarray(theta, dtype=dtype)
 
     # bound relaxation (same as host path)
@@ -116,9 +129,15 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     n_bound = int(has_l.sum() + has_u.sum())
     mu_floor = opts.mu_min_factor * opts.tol
 
-    solve_loop = _build_loop(
-        F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor
-    )
+    if cached is not None:
+        solve_loop = cached["loop"]
+    else:
+        solve_loop = _build_loop(
+            F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor
+        )
+        cache[opts_key] = dict(
+            structure=structure, kkt=kkt, F=F, loop=solve_loop
+        )
     out = solve_loop(v, y, zl, zu, theta_p)
     out = jax.device_get(out)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
