@@ -80,7 +80,7 @@ from .nlp.oracle import (  # noqa: E402
     has_matfree_jac,
 )
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
-from .solver.ipm_device import madipm_device  # noqa: E402
+from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 
 __all__ = [
@@ -108,6 +108,7 @@ __all__ = [
     "multipliers_U",
     "madipm",
     "madipm_device",
+    "madipm_hybrid",
     "IPMOptions",
     "IPMResult",
     "EachScenario",

@@ -72,7 +72,12 @@ class IPMOptions:
     kappa_w_plus: float = 8.0
     kappa_w_minus: float = 1.0 / 3.0
     delta_c_bar: float = 1e-8
+    delta_c_min: float = 0.0  # floor on the dual regularization (raised
+    # automatically to 1e-5 with an f32 factorization: the condensed
+    # system's scaled eigenvalues must stay above f32 epsilon)
     kappa_c: float = 0.25
+    factor_dtype: object = None  # e.g. "float32": mixed-precision KKT
+    # factorization (MXU) with f64 iterative refinement
     curvature_kappa: float = 1e-11  # dᵀKd ≥ κ·dᵀd requirement
     # dual safeguard / init
     kappa_sigma: float = 1e10
@@ -269,12 +274,16 @@ class _Funcs:
         self.alpha_fraction = jax.jit(alpha_fraction)
 
 
-def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs) -> IPMResult:
+def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
+           warm_start=None, **kwargs) -> IPMResult:
     """Solve an ExaModel-like NLP oracle to first-order stationarity.
 
     Returns IPMResult with primal x, constraint multipliers y (original,
     unscaled convention: ∇f + Jᵀy − zl + zu = 0 for minimization), and
     bound multipliers zl/zu over x.
+
+    `warm_start`: an IPMResult (or dict with x/y/zl/zu) to resume from —
+    used by the hybrid f32-bulk + f64-polish strategy (madipm_hybrid).
     """
     opts = options or IPMOptions()
     for k, v in kwargs.items():
@@ -294,13 +303,18 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
             solver_kind = "dense"
         else:
             solver_kind = "blocktri"
+    fdt = opts.factor_dtype
+    if isinstance(fdt, str):
+        fdt = jnp.dtype(fdt).type
+    if fdt is not None and opts.delta_c_min == 0.0:
+        opts.delta_c_min = 1e-5
     if solver_kind == "dense":
         kkt = DenseKKT(structure, dtype)
     elif solver_kind == "blocktri":
         from .blocktri import BlockTriKKT
 
         try:
-            kkt = BlockTriKKT(structure, dtype)
+            kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
         except ValueError:  # bandwidth too large after RCM
             kkt = CGKKT(structure, dtype)
     elif solver_kind == "cg":
@@ -323,7 +337,12 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
     has_u = np.asarray(F.has_u)
 
     # ---- initial point ----------------------------------------------------
-    x0 = np.asarray(model.x0, dtype=np.float64)
+    if warm_start is not None:
+        ws_x = np.asarray(warm_start["x"] if isinstance(warm_start, dict) else warm_start.x,
+                          dtype=np.float64)
+    else:
+        ws_x = None
+    x0 = ws_x if ws_x is not None else np.asarray(model.x0, dtype=np.float64)
     c0 = F.con_scale_np * np.asarray(model.cons(model.x0, theta=theta_p))
     s0 = c0[structure.ineq_rows] if ns else np.zeros(0)
     v = np.concatenate([x0, s0])
@@ -340,11 +359,28 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
     v = jnp.asarray(v, dtype=dtype)
     zl = jnp.where(F.has_l, 1.0, 0.0).astype(dtype)
     zu = jnp.where(F.has_u, 1.0, 0.0).astype(dtype)
+    if warm_start is not None:
+        ws = warm_start if isinstance(warm_start, dict) else dict(
+            y=warm_start.y, zl=warm_start.zl, zu=warm_start.zu
+        )
+        # rescale original-convention multipliers into the scaled space
+        if ws.get("zl") is not None:
+            wzl = np.zeros(n)
+            wzl[:nx] = F.obj_sign * np.asarray(ws["zl"]) * F.sigma_f
+            zl = jnp.where(F.has_l, jnp.maximum(jnp.asarray(wzl, dtype=dtype), 1e-8), 0.0)
+        if ws.get("zu") is not None:
+            wzu = np.zeros(n)
+            wzu[:nx] = F.obj_sign * np.asarray(ws["zu"]) * F.sigma_f
+            zu = jnp.where(F.has_u, jnp.maximum(jnp.asarray(wzu, dtype=dtype), 1e-8), 0.0)
 
     # least-squares dual init: argmin ‖g − zl + zu + Aᵀy‖ via one KKT solve
     # with W = 0, Σ = 1 (Ipopt §3.6 analogue on the condensed system)
     y = jnp.zeros(m, dtype=dtype)
-    if m:
+    if warm_start is not None and m:
+        ws_y = warm_start["y"] if isinstance(warm_start, dict) else warm_start.y
+        if ws_y is not None:
+            y = F.obj_sign * jnp.asarray(np.asarray(ws_y), dtype=dtype) * F.sigma_f / F.con_scale
+    elif m:
         ev0 = F.evals(v, y, zl, zu, opts.mu_init, theta_p)
         _, y_ls, ok_ls = kkt.solve(
             jnp.zeros_like(ev0["hvals"]), ev0["jvals"],
@@ -420,7 +456,7 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None, **kwargs)
             E_mu, _, _, _ = kkt_error(ev, y, zl, zu)
 
         # ---- KKT solve + inertia-free curvature correction ----------------
-        dc = opts.delta_c_bar * max(mu ** opts.kappa_c, 1e-10)
+        dc = max(opts.delta_c_bar * max(mu ** opts.kappa_c, 1e-10), opts.delta_c_min)
         delta_w = 0.0
         trial_w = (opts.delta_w0 if delta_w_last == 0.0
                    else max(opts.delta_w_min, opts.kappa_w_minus * delta_w_last))

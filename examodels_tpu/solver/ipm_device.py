@@ -75,10 +75,15 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         solver_kind = opts.linear_solver
         if solver_kind is None:
             solver_kind = "dense" if n + m <= opts.dense_limit else "blocktri"
+        fdt = opts.factor_dtype
+        if isinstance(fdt, str):
+            fdt = jnp.dtype(fdt).type
+        if fdt is not None and opts.delta_c_min == 0.0:
+            opts.delta_c_min = 1e-5
         if solver_kind == "blocktri":
             from .blocktri import BlockTriKKT
 
-            kkt = BlockTriKKT(structure, dtype)
+            kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
         else:
             kkt = DenseKKT(structure, dtype)
         F = _Funcs(model, structure, dtype, opts)
@@ -223,17 +228,25 @@ def _build_loop(F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_flo
 
         mu_new = jax.lax.fori_loop(0, 8, mu_step, mu)
         mu_changed = mu_new != mu
-        mu = mu_new
-        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
         # filter reset on μ change
         filt_th = jnp.where(mu_changed, jnp.full(_NFILT, big), st["filt_th"])
         filt_ph = jnp.where(mu_changed, jnp.full(_NFILT, -big), st["filt_ph"])
         nfilt = jnp.where(mu_changed, 0, st["nfilt"])
-        # re-evaluate barrier quantities for the (possibly) new μ
-        ev = F.evals(v, y, zl, zu, mu, st["theta_p"])
+        # update the μ-dependent quantities in closed form (avoids a second
+        # full oracle evaluation in the traced program): with
+        # binv = 1/dl − 1/du (masked) and logsum = (f − φ)/μ,
+        #   r1(μ') = r1(μ) + (μ' − μ)·binv,  φ(μ') = f − μ'·logsum
+        binv = jnp.where(F.has_l, 1.0 / ev["dl"], 0.0) - jnp.where(
+            F.has_u, 1.0 / ev["du"], 0.0
+        )
+        logsum = jnp.where(mu > 0, (ev["f"] - ev["phi"]) / jnp.maximum(mu, 1e-300), 0.0)
+        ev["r1"] = ev["r1"] + (mu_new - mu) * binv
+        ev["phi"] = ev["f"] - mu_new * logsum
+        mu = mu_new
+        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
 
         # ---- KKT with inertia-free δw loop --------------------------------
-        dc = opts.delta_c_bar * jnp.maximum(mu ** opts.kappa_c, 1e-10)
+        dc = jnp.maximum(opts.delta_c_bar * jnp.maximum(mu ** opts.kappa_c, 1e-10), opts.delta_c_min)
         trial_w = jnp.where(
             st["dw_last"] == 0.0,
             opts.delta_w0,
@@ -415,3 +428,47 @@ def _build_loop(F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_flo
         return jax.lax.while_loop(cond, body, st)
 
     return run
+
+
+def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
+                  switch_tol: float = 1e-4, **kwargs) -> IPMResult:
+    """TPU-optimal solve strategy: bulk iterations in the on-device loop
+    with an f32 KKT factorization (v5e f64 linear algebra is both slow and
+    a compile bomb inside while_loop programs), then a host-driven f64
+    polish warm-started from the f32 point. The f64 KKT solve compiles as
+    its own small jit in seconds and only runs for the last few iterations.
+    """
+    from .ipm import madipm
+
+    opts = options or IPMOptions()
+    for k, v in kwargs.items():
+        if not hasattr(opts, k):
+            raise TypeError(f"unknown IPM option {k!r}")
+        setattr(opts, k, v)
+
+    t0 = time.time()
+    coarse = IPMOptions(**{
+        f: getattr(opts, f) for f in opts.__dataclass_fields__
+    })
+    coarse.tol = max(switch_tol, opts.tol)
+    coarse.acceptable_tol = max(coarse.acceptable_tol, coarse.tol * 10)
+    coarse.acceptable_iter = 5
+    coarse.factor_dtype = coarse.factor_dtype or "float32"
+    r1 = madipm_device(model, coarse, theta=theta)
+
+    if opts.tol >= switch_tol and r1.success:
+        return r1
+
+    polish = IPMOptions(**{
+        f: getattr(opts, f) for f in opts.__dataclass_fields__
+    })
+    polish.factor_dtype = None
+    polish.delta_c_min = 0.0
+    polish.mu_init = max(float(r1.mu), opts.mu_min_factor * opts.tol) \
+        if np.isfinite(r1.mu) else 1e-4
+    polish.scaling = opts.scaling
+    r2 = madipm(model, polish, theta=theta,
+                warm_start=r1 if r1.x is not None else None)
+    r2.iterations += r1.iterations
+    r2.wall_time = time.time() - t0
+    return r2
