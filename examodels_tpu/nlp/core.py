@@ -116,6 +116,14 @@ class Objective:
     pattern: CompiledPattern
     name: str = "obj"
 
+    def __repr__(self):
+        from ..core.prettyprint import node_str
+
+        return (
+            f"Objective {self.name}: sum of {node_str(self.pattern.tree)} "
+            f"over {self.pattern.n} elements"
+        )
+
 
 @dataclass
 class Constraint:
@@ -131,6 +139,17 @@ class Constraint:
         """Flat row index (0-based within this block) from a possibly
         multi-dim, possibly symbolic index — used by conaug targets."""
         return _ravel_index(idx, self.shape, f"constraint {self.name!r}", 0)
+
+    def __repr__(self):
+        from ..core.prettyprint import node_str
+
+        body = (
+            node_str(self.pattern.tree) if self.pattern is not None else "<empty>"
+        )
+        return (
+            f"Constraint {self.name} [{self.offset}:{self.offset + self.n}]: "
+            f"{body} over {self.n} rows"
+        )
 
 
 @dataclass
@@ -458,6 +477,30 @@ class ExaCore:
             f"objs={len(self.objs)}, cons={len(self.cons)}, "
             f"conaugs={len(self.conaugs)}, minimize={self.minimize})"
         )
+
+    def describe(self) -> str:
+        """Full model description with rendered expression templates
+        (the `show` parity of /root/reference/src/prettyprint.jl)."""
+        from ..core.prettyprint import node_str
+
+        lines = [repr(self)]
+        for v in self.vars:
+            lines.append(f"  var {v.name}: shape {v.shape or '()'} @ {v.offset}")
+        for pch in self.pars:
+            lines.append(f"  par {pch.name}: shape {pch.shape or '()'} @ {pch.offset}")
+        for o in self.objs:
+            lines.append(f"  min {node_str(o.pattern.tree)}  [n={o.pattern.n}]")
+        for con in self.cons:
+            body = node_str(con.pattern.tree) if con.pattern is not None else "<empty>"
+            lines.append(f"  s.t. {con.name}: {body}  [rows={con.n}]")
+        for a in self.conaugs:
+            lines.append(
+                f"  aug  {a.con.name} += {node_str(a.pattern.tree)}  "
+                f"[n={a.pattern.n}]"
+            )
+        for o, off in self.oracles:
+            lines.append(f"  oracle {o.name}: {o.ncon} rows @ {off}")
+        return "\n".join(lines)
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,72 @@ class _Funcs:
         self.evals = jax.jit(evals)
         self.trial_eval = jax.jit(lambda v, mu, th: (barrier(v, mu, th), theta(v, th)))
 
+        def summary(ev, y, zl, zu, mu):
+            """All per-iteration decision scalars as ONE stacked array so
+            the host loop pays a single device round-trip (the sync-count
+            discipline that makes the host loop usable through remote TPU
+            tunnels): [dual_inf, prim_inf, comp@μ=0, comp@μ, Σ|y|+|z|,
+            Σ|z|, f, θ, φ]."""
+            a_l = jnp.where(self.has_l, ev["dl"] * zl, 0.0)
+            a_u = jnp.where(self.has_u, ev["du"] * zu, 0.0)
+            comp0 = jnp.maximum(
+                jnp.max(jnp.abs(a_l), initial=0.0),
+                jnp.max(jnp.abs(a_u), initial=0.0),
+            )
+            comp_mu = jnp.maximum(
+                jnp.max(jnp.abs(ev["comp_l"]), initial=0.0),
+                jnp.max(jnp.abs(ev["comp_u"]), initial=0.0),
+            )
+            zsum = jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))
+            return jnp.stack([
+                jnp.max(jnp.abs(ev["r_d"]), initial=0.0),
+                jnp.max(jnp.abs(ev["r"]), initial=0.0),
+                comp0,
+                comp_mu,
+                jnp.sum(jnp.abs(y)) + zsum,
+                zsum,
+                ev["f"],
+                ev["theta"],
+                ev["phi"],
+            ])
+
+        self.summary = jax.jit(summary)
+
+        def comp_at(ev, zl, zu, mu):
+            a_l = jnp.where(self.has_l, ev["dl"] * zl - mu, 0.0)
+            a_u = jnp.where(self.has_u, ev["du"] * zu - mu, 0.0)
+            return jnp.maximum(
+                jnp.max(jnp.abs(a_l), initial=0.0),
+                jnp.max(jnp.abs(a_u), initial=0.0),
+            )
+
+        self.comp_at = jax.jit(comp_at)
+
+        def ls_setup(v, dv, zl, dzl, zu, dzu, tau, g, dl, du, mu):
+            """Fraction-to-boundary steps + barrier directional derivative
+            in one fetch: [α_max, α_z, ∇φᵀd]."""
+            ap, ad = alpha_fraction(v, dv, zl, dzl, zu, dzu, tau)
+            gphi = (
+                jnp.vdot(g, dv)
+                - mu * jnp.sum(jnp.where(self.has_l, dv / dl, 0.0))
+                + mu * jnp.sum(jnp.where(self.has_u, dv / du, 0.0))
+            )
+            return jnp.stack([ap, ad, gphi])
+
+        self.ls_setup = jax.jit(ls_setup)
+
+        def curv_check(hvals, sigma, dw, dv):
+            dx = dv[:nx]
+            coeff = jnp.where(hr2 == hc2, 1.0, 2.0)
+            quad = jnp.sum(coeff * hvals * dx[hr2] * dx[hc2])
+            curv = quad + jnp.sum((sigma + dw) * dv * dv)
+            return jnp.stack([curv, jnp.vdot(dv, dv),
+                              jnp.isfinite(dv).all().astype(dv.dtype)])
+
+        hr2 = jnp.asarray(structure.hrows)
+        hc2 = jnp.asarray(structure.hcols)
+        self.curv_check = jax.jit(curv_check)
+
         hr = jnp.asarray(structure.hrows)
         hc = jnp.asarray(structure.hcols)
 
@@ -429,11 +495,17 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
             status = "diverged"
             break
 
-        # termination (μ-independent error)
-        ev0 = F.evals(v, y, zl, zu, 0.0, theta_p)
-        E0, dual_inf, prim_inf, comp = kkt_error(ev0, y, zl, zu)
+        # one fused scalar fetch per iteration (sync discipline: the host
+        # loop must stay usable over remote-TPU tunnels)
+        (dual_inf, prim_inf, comp0, comp_mu, ysum, zsum, f_cur, theta_cur,
+         phi_cur) = (float(t) for t in np.asarray(
+            F.summary(ev, y, zl, zu, mu)))
+        sd = max(opts.s_max, ysum / max(1, m + n_bound)) / opts.s_max
+        sc = max(opts.s_max, zsum / max(1, n_bound)) / opts.s_max
+        E0 = max(dual_inf / sd, prim_inf, comp0 / sc)
+        comp = comp0
         if opts.verbose:
-            print(f"it {it:4d}  f {float(ev['f']):+.8e}  θ {float(ev['theta']):.2e} "
+            print(f"it {it:4d}  f {f_cur:+.8e}  θ {theta_cur:.2e} "
                   f"E0 {E0:.2e}  μ {mu:.1e}  δw {delta_w_last:.1e}")
         if E0 <= opts.tol:
             status = "first_order"
@@ -447,13 +519,17 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
             n_acceptable = 0
 
         # barrier update (Fiacco-McCormick, may cascade)
-        E_mu, _, _, _ = kkt_error(ev, y, zl, zu)
+        E_mu = max(dual_inf / sd, prim_inf, comp_mu / sc)
+        mu_old = mu
         while mu > mu_floor and E_mu <= opts.kappa_eps * mu:
             mu = max(mu_floor, min(opts.kappa_mu * mu, mu ** opts.theta_mu))
             tau = max(opts.tau_min, 1.0 - mu)
             filt = [(theta_max, -np.inf)]
+            E_mu = max(dual_inf / sd, prim_inf,
+                       float(F.comp_at(ev, zl, zu, mu)) / sc)
+        if mu != mu_old:
             ev = F.evals(v, y, zl, zu, mu, theta_p)
-            E_mu, _, _, _ = kkt_error(ev, y, zl, zu)
+            phi_cur = None  # refreshed below
 
         # ---- KKT solve + inertia-free curvature correction ----------------
         dc = max(opts.delta_c_bar * max(mu ** opts.kappa_c, 1e-10), opts.delta_c_min)
@@ -467,10 +543,12 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
                 jnp.full(n, delta_w, dtype=dtype), jnp.asarray(dc, dtype=dtype),
                 ev["r1"], -ev["r"],
             )
-            if bool(pd_ok) and bool(jnp.isfinite(dv).all()):
-                curv = float(F.curvature(ev["hvals"], ev["sigma"],
-                                         jnp.asarray(delta_w, dtype), dv))
-                dnorm = float(jnp.vdot(dv, dv))
+            cchk = F.curv_check(
+                ev["hvals"], ev["sigma"], jnp.asarray(delta_w, dtype), dv
+            )
+            pd_np, cchk_np = jax.device_get((pd_ok, cchk))  # one round trip
+            if bool(pd_np) and cchk_np[2] > 0:
+                curv, dnorm = float(cchk_np[0]), float(cchk_np[1])
                 if curv >= opts.curvature_kappa * dnorm:
                     break
             delta_w = trial_w if delta_w == 0.0 else delta_w * opts.kappa_w_plus
@@ -488,16 +566,13 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         dzl = jnp.where(F.has_l, mu / dl - zl - zl * dv / dl, 0.0)
         dzu = jnp.where(F.has_u, mu / du - zu + zu * dv / du, 0.0)
 
-        alpha_max, alpha_z = F.alpha_fraction(v, dv, zl, dzl, zu, dzu, tau)
-        alpha_max = float(alpha_max)
-        alpha_z = float(alpha_z)
-
         # ---- filter line search ------------------------------------------
-        theta_cur = float(ev["theta"])
-        phi_cur = float(ev["phi"])
-        gphi_dv = float(jnp.vdot(ev["g"], dv)
-                        - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
-                        + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0)))
+        lss = np.asarray(
+            F.ls_setup(v, dv, zl, dzl, zu, dzu, tau, ev["g"], dl, du, mu)
+        )
+        alpha_max, alpha_z, gphi_dv = float(lss[0]), float(lss[1]), float(lss[2])
+        if phi_cur is None:  # μ changed this iteration; refresh θ/φ
+            phi_cur, theta_cur = (float(t) for t in F.trial_eval(v, mu, theta_p))
 
         if gphi_dv < 0 and theta_cur <= theta_min:
             alpha_min = opts.alpha_min_frac * min(
