@@ -82,9 +82,12 @@ class IPMOptions:
     # dual safeguard / init
     kappa_sigma: float = 1e10
     y_init_max: float = 1e3
-    # linear solver: "dense" | "cg" | None (auto by size)
+    # linear solver: "dense" | "cg" | "blocktri" | "schur" | None (auto:
+    # schur for two-stage models above dense_limit, else by size)
     linear_solver: Optional[str] = None
     dense_limit: int = 6000
+    # mesh for the scenario-sharded schur backend (axis name "scen")
+    mesh: Optional[object] = None
     verbose: bool = False
 
 
@@ -364,8 +367,11 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
     n = nx + ns
 
     solver_kind = opts.linear_solver
+    is_two_stage = getattr(model, "nscen", 1) > 1 and hasattr(model, "_var_scen")
     if solver_kind is None:
-        if n + m <= opts.dense_limit:
+        if is_two_stage and n + m > opts.dense_limit:
+            solver_kind = "schur"
+        elif n + m <= opts.dense_limit:
             solver_kind = "dense"
         else:
             solver_kind = "blocktri"
@@ -374,7 +380,23 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         fdt = jnp.dtype(fdt).type
     if fdt is not None and opts.delta_c_min == 0.0:
         opts.delta_c_min = 1e-5
-    if solver_kind == "dense":
+    if solver_kind == "schur":
+        from .schur import ScenarioSchurKKT
+
+        try:
+            kkt = ScenarioSchurKKT(
+                structure, model._var_scen, model._con_scen, model.nscen,
+                dtype, mesh=opts.mesh,
+            )
+        except ValueError:
+            if opts.linear_solver == "schur":
+                raise  # explicit request: surface the structure problem
+            kkt = (
+                DenseKKT(structure, dtype)
+                if n + m <= opts.dense_limit
+                else CGKKT(structure, dtype)
+            )
+    elif solver_kind == "dense":
         kkt = DenseKKT(structure, dtype)
     elif solver_kind == "blocktri":
         from .blocktri import BlockTriKKT
