@@ -82,6 +82,8 @@ from .nlp.oracle import (  # noqa: E402
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
 from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
+from .bridge import FlatCore, flat_model  # noqa: E402
+from . import bridge  # noqa: E402
 
 __all__ = [
     "Node",
@@ -128,6 +130,9 @@ __all__ = [
     "embed_oracle",
     "has_matfree_jac",
     "has_matfree_hess",
+    "FlatCore",
+    "flat_model",
+    "bridge",
 ] + emath.__all__
 
 __version__ = "0.1.0"
