@@ -84,6 +84,15 @@ from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 from .bridge import FlatCore, flat_model  # noqa: E402
 from . import bridge  # noqa: E402
+from .nlp import legacy  # noqa: E402
+from .nlp.legacy import (  # noqa: E402
+    constraint,
+    constraint_aug,
+    objective,
+    parameter,
+    subexpr,
+    variable,
+)
 
 __all__ = [
     "Node",
@@ -133,6 +142,13 @@ __all__ = [
     "FlatCore",
     "flat_model",
     "bridge",
+    "legacy",
+    "variable",
+    "parameter",
+    "objective",
+    "constraint",
+    "constraint_aug",
+    "subexpr",
 ] + emath.__all__
 
 __version__ = "0.1.0"

@@ -278,12 +278,17 @@ class ExaCore:
     def add_var(
         self,
         shape=(),
+        data=None,
         *,
         start=0.0,
         lvar=-math.inf,
         uvar=math.inf,
         name: Optional[str] = None,
     ) -> Variable:
+        if callable(shape):
+            return self._add_var_lifted(
+                shape, data, start=start, lvar=lvar, uvar=uvar, name=name
+            )
         shape = (shape,) if isinstance(shape, (int, np.integer)) else tuple(shape)
         size = int(np.prod(shape)) if shape else 1
         v = Variable(self, len(self.vars), self.nvar, shape, name or f"x{len(self.vars)}")
@@ -295,6 +300,23 @@ class ExaCore:
         self._lvar.append(_broadcast_bound(lvar, size, -math.inf))
         self._uvar.append(_broadcast_bound(uvar, size, math.inf))
         return v
+
+    def _add_var_lifted(
+        self, template, data, *, start, lvar, uvar, name
+    ) -> Variable:
+        """Generator form of add_var (parity: /root/reference/src/
+        nlp.jl:939-957): creates one new variable per data element plus
+        equality rows ``z_k - template(d_k) = 0`` tying them — a *lifted*
+        subexpression (contrast add_expr, which inlines)."""
+        items = list(data)
+        n = len(items)
+        z = self.add_var(n, start=start, lvar=lvar, uvar=uvar, name=name)
+        self.add_con(
+            lambda t: z[t[0]] - template(t[1]),
+            list(enumerate(items)),
+            name=(f"{name}_def" if name else None),
+        )
+        return z
 
     def add_par(self, values, *, shape=None, name: Optional[str] = None) -> Parameter:
         arr = np.asarray(values, dtype=np.float64)
