@@ -2,15 +2,30 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol (mirrors /root/reference/benchmark/runbenchmark.jl:83-120 — minimum
-of repeated timed evals per callback): synthetic 10k-bus AC-OPF (no pglib
-data in the zero-egress image; same 15-pattern structure and density as
-pglib cases), jit-compiled hess_coord + jac_coord, warmed up, then timed.
-Combined metric = evals/sec of one (Hessian + Jacobian) pair — the
+Problem (mirrors /root/reference/benchmark/runbenchmark.jl:173-236): synthetic
+10k-bus AC-OPF (no pglib data in the zero-egress image; same 15-pattern
+structure and density as pglib cases), fused hess_coord + jac_coord — the
 north-star derivative hot path of BASELINE.json.
 
-vs_baseline is the ratio to bench_baseline.json committed in-repo (first
-run establishes it at 1.0; later rounds must beat it).
+Measurement protocol — device-resident scan with checksum readback:
+
+  The naive "dispatch in a loop + block_until_ready" protocol is WRONG on
+  this machine: through the remote-TPU tunnel, `block_until_ready` returns
+  before device completion, and per-dispatch round-trip latency (~7-9 ms)
+  dwarfs device compute. Instead we run K back-to-back evals inside ONE
+  jitted `lax.scan`, fold every output element into a scalar checksum
+  carried across iterations (so XLA cannot dead-code-eliminate any entry),
+  and force a host readback of the checksum as the only true barrier.
+  Per-eval time is the SLOPE between two K values, which cancels the fixed
+  dispatch + readback overhead:
+
+      evals/sec = (K2 - K1) / (T(K2) - T(K1)),  best of REPS trials.
+
+  Each scan iteration perturbs x so no two evals share inputs (no CSE).
+
+vs_baseline is the ratio to bench_baseline.json committed in-repo
+(re-established 2026-08-18 when the protocol was fixed; later rounds must
+beat it).
 """
 
 import json
@@ -22,7 +37,9 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 NBUS = int(os.environ.get("BENCH_NBUS", "10000"))
-REPS = int(os.environ.get("BENCH_REPS", "30"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+K1 = int(os.environ.get("BENCH_K1", "4"))
+K2 = int(os.environ.get("BENCH_K2", "36"))
 BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
 
 
@@ -45,26 +62,32 @@ def main():
     w = jnp.asarray(1.0, model.dtype)
     th = model.theta
 
-    # fused hess+jac: ONE dispatch per pair — the IPM's actual per-iteration
-    # derivative evaluation shape (model._hess_jac_impl; the per-callback
-    # split of the reference's NLPModels API costs a full extra launch on
-    # these memory-light kernels)
-    hess_jac = jax.jit(model._hess_jac_impl)
+    def make_scan(K):
+        eps = jnp.arange(K, dtype=model.dtype) * 1e-9
 
-    # compile + warmup
+        def body(c, e):
+            h, j = model._hess_jac_impl(st, x + e, y, w, th)
+            # fold EVERY output element into the carried checksum: no entry
+            # is dead, so XLA must fully evaluate both COO value arrays
+            return c + h.sum() + j.sum(), None
+
+        return jax.jit(
+            lambda: jax.lax.scan(body, jnp.asarray(0.0, model.dtype), eps)[0]
+        )
+
+    f1, f2 = make_scan(K1), make_scan(K2)
+
     t0 = time.time()
-    jax.block_until_ready(hess_jac(st, x, y, w, th))
+    checksum = float(f1())  # compile + warm; host readback = true barrier
+    float(f2())
     compile_s = time.time() - t0
 
-    # timed: best-of blocks (reference uses @belapsed minima)
-    def time_pair():
+    def timed(f):
         t0 = time.perf_counter()
-        for _ in range(5):
-            hj = hess_jac(st, x, y, w, th)
-        jax.block_until_ready(hj)
-        return (time.perf_counter() - t0) / 5
+        float(f())
+        return time.perf_counter() - t0
 
-    best = min(time_pair() for _ in range(max(1, REPS // 5)))
+    best = min((timed(f2) - timed(f1)) / (K2 - K1) for _ in range(max(1, REPS)))
     evals_per_sec = 1.0 / best
 
     vs = 1.0
@@ -81,6 +104,7 @@ def main():
                     "value": evals_per_sec,
                     "device": str(jax.devices()[0]),
                     "recorded": time.strftime("%Y-%m-%d"),
+                    "protocol": "scan-slope checksum readback",
                 },
                 f,
             )
@@ -91,7 +115,8 @@ def main():
                 "metric": f"hess+jac evals/sec, AC-OPF {NBUS}-bus "
                 f"(nvar={model.nvar}, nnzh={model.nnzh}, nnzj={model.nnzj}, "
                 f"dtype={model.dtype.name}, device={jax.devices()[0].platform}, "
-                f"build={build_s:.0f}s, compile={compile_s:.0f}s)",
+                f"build={build_s:.0f}s, compile={compile_s:.0f}s, "
+                f"checksum={checksum:.6g})",
                 "value": round(evals_per_sec, 3),
                 "unit": "evals/sec",
                 "vs_baseline": round(vs, 3),
