@@ -24,6 +24,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from .graph import (
@@ -290,6 +291,396 @@ def _hessian_pairs(root: Node, var_slots: dict) -> list:
 
 
 # ---------------------------------------------------------------------------
+# Fused one-pass Hessian: edge-pushing second-order reverse over the tree
+# ---------------------------------------------------------------------------
+
+
+class _StructVal:
+    """Sentinel for the structural dry-run: 'some nonzero value'. Any
+    arithmetic yields the sentinel, so the emission recursion can run
+    without JAX and its control flow stays identical to the traced run."""
+
+    __slots__ = ()
+
+    def _op(self, *a):
+        return self
+
+    __add__ = __radd__ = __sub__ = __rsub__ = _op
+    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _op
+    __pow__ = __rpow__ = __neg__ = _op
+
+    def __repr__(self):
+        return "<S>"
+
+
+_S = _StructVal()
+
+
+def _nadd(a, b):
+    """None-aware add (None = structural zero)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a + b
+
+
+def _nmul2(a, b):
+    if a is None or b is None:
+        return None
+    return a * b
+
+
+def _nmul3(a, b, c):
+    if a is None or b is None or c is None:
+        return None
+    return (a * b) * c
+
+
+# Hand-written first/second derivatives for the hottest scalar ops: keeps the
+# emitted jaxpr lean (the generic path re-traces jax.grad of the op fn, which
+# XLA CSEs away but bloats trace time). val = already-computed f(x).
+_U1 = {
+    "exp": lambda x, v: v,
+    "log": lambda x, v: 1.0 / x,
+    "sin": lambda x, v: jnp.cos(x),
+    "cos": lambda x, v: -jnp.sin(x),
+    "sqrt": lambda x, v: 0.5 / v,
+    "abs2": lambda x, v: 2.0 * x,
+    "square": lambda x, v: 2.0 * x,
+    "inv": lambda x, v: -v * v,
+    "tanh": lambda x, v: 1.0 - v * v,
+    "neg": lambda x, v: -1.0,
+}
+_U2 = {
+    "exp": lambda x, v: v,
+    "log": lambda x, v: -1.0 / (x * x),
+    "sin": lambda x, v: -v,
+    "cos": lambda x, v: -v,
+    "sqrt": lambda x, v: -0.25 / (v * x),
+    "abs2": lambda x, v: 2.0,
+    "square": lambda x, v: 2.0,
+    "inv": lambda x, v: 2.0 * v * v * v,
+    "tanh": lambda x, v: -2.0 * v * (1.0 - v * v),
+}
+
+
+def _unary_partials(op: str, xa, val, struct: bool):
+    """(f'(x), f''(x)); f'' is None iff structurally zero (the d2 flag —
+    keeps emission in sync with _hessian_pairs)."""
+    import jax
+
+    spec = UNIVARIATE_OPS[op]
+    if struct:
+        return _S, (_S if spec.d2 else None)
+    d1 = _U1[op](xa, val) if op in _U1 else jax.grad(spec.fn)(xa)
+    if not spec.d2:
+        return d1, None
+    d2 = _U2[op](xa, val) if op in _U2 else jax.grad(jax.grad(spec.fn))(xa)
+    return d1, d2
+
+
+def _binary_partials(op: str, av, bv, struct: bool):
+    """(ga, gb, gaa, gab, gbb); second partials None per the structural
+    d2_aa/d2_ab/d2_bb flags (matching _hessian_pairs)."""
+    import jax
+
+    spec = BIVARIATE_OPS[op]
+    if struct:
+        return (
+            _S,
+            _S,
+            _S if spec.d2_aa else None,
+            _S if spec.d2_ab else None,
+            _S if spec.d2_bb else None,
+        )
+    if op == "add":
+        return 1.0, 1.0, None, None, None
+    if op == "sub":
+        return 1.0, -1.0, None, None, None
+    if op == "mul":
+        return bv, av, None, 1.0, None
+    if op == "div":
+        ib = 1.0 / bv
+        gb = -av * ib * ib
+        return ib, gb, None, -ib * ib, -2.0 * gb * ib
+    ga = jax.grad(spec.fn, argnums=0)(av, bv)
+    gb = jax.grad(spec.fn, argnums=1)(av, bv)
+    gaa = (
+        jax.grad(jax.grad(spec.fn, argnums=0), argnums=0)(av, bv)
+        if spec.d2_aa
+        else None
+    )
+    gab = (
+        jax.grad(jax.grad(spec.fn, argnums=0), argnums=1)(av, bv)
+        if spec.d2_ab
+        else None
+    )
+    gbb = (
+        jax.grad(jax.grad(spec.fn, argnums=1), argnums=1)(av, bv)
+        if spec.d2_bb
+        else None
+    )
+    return ga, gb, gaa, gab, gbb
+
+
+def _int_pow_exponent(node: Node):
+    """k if node is pow(a, Const(int k)) — the integer_pow special case of
+    make_eval_fn; None otherwise."""
+    if (
+        isinstance(node, Binary)
+        and node.op == "pow"
+        and isinstance(node.b, Const)
+        and isinstance(node.b.value, int)
+    ):
+        return node.b.value
+    return None
+
+
+def make_hess_entry_fn(
+    root: Node,
+    var_slots: dict,
+    par_slots: dict,
+    data_slots: dict,
+    hpairs,
+):
+    """Fused single-pass Hessian: h(v, d, th) -> (o2step,) COO entry values
+    aligned with `hpairs` (canonical (max, min) slot pairs).
+
+    Edge-pushing second-order reverse AD specialized to expression trees
+    (parity: hrpass/hrpass0/hdrpass, /root/reference/src/hessian.jl:16-717,
+    which evaluates all entries in ONE traversal): a forward value sweep,
+    then a downward pass carrying (adj, adj2) — adj2 is exact as a scalar
+    because on a tree every slot pair has a unique meeting node, where the
+    cross term adj2*g1*g2 + adj*g12 is scattered over the product of the two
+    subtree gradients. Structural-zero tracking (None) reproduces the
+    linear-operator pruning of hrpass0, so linear patterns emit nothing.
+
+    Replaces the jacfwd(grad) dense p*p evaluation: cost is O(tree) instead
+    of O(p * tree) — the dominant win on the Hessian hot path
+    (/root/reference/README.md:29: "Hessian computations are the typical
+    bottlenecks").
+    """
+    hlist = [tuple(int(v) for v in pq) for pq in hpairs]
+    hpos = {pq: k for k, pq in enumerate(hlist)}
+
+    def run(v, d, th, struct: bool):
+        vals: dict = {}
+        dgm: dict = {}
+        entries: dict = {}
+
+        def value(n: Node):
+            k = id(n)
+            if k in vals:
+                return vals[k]
+            if isinstance(n, Const):
+                out = _S if struct else n.value
+            elif isinstance(n, VarNode):
+                out = _S if struct else v[var_slots[n._skey()]]
+            elif isinstance(n, ParamNode):
+                out = _S if struct else th[par_slots[n._skey()]]
+            elif isinstance(n, Data):
+                out = _S if struct else d[data_slots[n._skey()]]
+            elif isinstance(n, Unary):
+                out = (
+                    _S
+                    if struct
+                    else UNIVARIATE_OPS[n.op].fn(value(n.a))
+                )
+            elif isinstance(n, Binary):
+                kexp = _int_pow_exponent(n)
+                if kexp is not None:
+                    out = _S if struct else value(n.a) ** kexp
+                else:
+                    out = (
+                        _S
+                        if struct
+                        else BIVARIATE_OPS[n.op].fn(value(n.a), value(n.b))
+                    )
+            elif isinstance(n, NarySum):
+                if struct:
+                    out = _S
+                else:
+                    acc = None
+                    for c in n.children:
+                        t = value(c)
+                        acc = t if acc is None else acc + t
+                    out = acc
+            else:
+                raise TypeError(f"cannot evaluate node {n!r}")
+            vals[k] = out
+            return out
+
+        def dgrad(n: Node) -> dict:
+            """slot -> d(subtree)/d(slot), aggregated over occurrences."""
+            k = id(n)
+            if k in dgm:
+                return dgm[k]
+            if isinstance(n, VarNode):
+                out = {var_slots[n._skey()]: _S if struct else 1.0}
+            elif isinstance(n, (Const, ParamNode, Data)):
+                out = {}
+            elif isinstance(n, Unary):
+                da = dgrad(n.a)
+                if da:
+                    d1, _ = _unary_partials(n.op, value(n.a), value(n), struct)
+                    out = {s: d1 * w for s, w in da.items()}
+                else:
+                    out = {}
+            elif isinstance(n, Binary):
+                kexp = _int_pow_exponent(n)
+                if kexp is not None:
+                    da = dgrad(n.a)
+                    if da and kexp != 0:
+                        d1 = (
+                            _S
+                            if struct
+                            else float(kexp) * value(n.a) ** (kexp - 1)
+                        )
+                        out = {s: d1 * w for s, w in da.items()}
+                    else:
+                        out = {}
+                else:
+                    da, db = dgrad(n.a), dgrad(n.b)
+                    out = {}
+                    if da or db:
+                        ga, gb, _, _, _ = _binary_partials(
+                            n.op, value(n.a), value(n.b), struct
+                        )
+                        for s, w in da.items():
+                            out[s] = ga * w
+                        for s, w in db.items():
+                            out[s] = _nadd(out.get(s), gb * w)
+            elif isinstance(n, NarySum):
+                out = {}
+                for c in n.children:
+                    for s, w in dgrad(c).items():
+                        out[s] = _nadd(out.get(s), w)
+            else:
+                raise TypeError(f"cannot differentiate node {n!r}")
+            dgm[k] = out
+            return out
+
+        def emit(i: int, j: int, val):
+            key = (i, j) if i >= j else (j, i)
+            entries[key] = _nadd(entries.get(key), val)
+
+        def cross(da: dict, db: dict, c):
+            for i, wi in da.items():
+                for j, wj in db.items():
+                    contrib = _nmul3(c, wi, wj)
+                    if contrib is None:
+                        continue
+                    if i == j:
+                        # both orders (u,v) and (v,u) land on the same
+                        # canonical entry (diagonal doubling, parity:
+                        # /root/reference/src/hessian.jl:262-267)
+                        contrib = contrib + contrib
+                    emit(i, j, contrib)
+
+        def hrpass(n: Node, a1, a2):
+            if isinstance(n, VarNode):
+                if a2 is not None:
+                    s = var_slots[n._skey()]
+                    emit(s, s, a2)
+                return
+            if isinstance(n, (Const, ParamNode, Data)):
+                return
+            if isinstance(n, Unary):
+                if not dgrad(n.a):
+                    return
+                d1, d2v = _unary_partials(n.op, value(n.a), value(n), struct)
+                hrpass(
+                    n.a,
+                    _nmul2(a1, d1),
+                    _nadd(_nmul3(a2, d1, d1), _nmul2(a1, d2v)),
+                )
+                return
+            if isinstance(n, Binary):
+                kexp = _int_pow_exponent(n)
+                if kexp is not None:
+                    if not dgrad(n.a) or kexp == 0:
+                        return
+                    if struct:
+                        d1 = _S
+                        d2v = _S if kexp != 1 else None
+                    else:
+                        d1 = float(kexp) * value(n.a) ** (kexp - 1)
+                        d2v = (
+                            float(kexp * (kexp - 1)) * value(n.a) ** (kexp - 2)
+                            if kexp != 1
+                            else None
+                        )
+                    hrpass(
+                        n.a,
+                        _nmul2(a1, d1),
+                        _nadd(_nmul3(a2, d1, d1), _nmul2(a1, d2v)),
+                    )
+                    return
+                da, db = dgrad(n.a), dgrad(n.b)
+                if not da and not db:
+                    return
+                ga, gb, gaa, gab, gbb = _binary_partials(
+                    n.op, value(n.a), value(n.b), struct
+                )
+                if da:
+                    hrpass(
+                        n.a,
+                        _nmul2(a1, ga),
+                        _nadd(_nmul3(a2, ga, ga), _nmul2(a1, gaa)),
+                    )
+                if db:
+                    hrpass(
+                        n.b,
+                        _nmul2(a1, gb),
+                        _nadd(_nmul3(a2, gb, gb), _nmul2(a1, gbb)),
+                    )
+                if da and db:
+                    cross(da, db, _nadd(_nmul3(a2, ga, gb), _nmul2(a1, gab)))
+                return
+            if isinstance(n, NarySum):
+                kids = [c for c in n.children if dgrad(c)]
+                for c in kids:
+                    hrpass(c, a1, a2)
+                if a2 is not None:
+                    for ii in range(len(kids)):
+                        for jj in range(ii + 1, len(kids)):
+                            cross(dgrad(kids[ii]), dgrad(kids[jj]), a2)
+                return
+            raise TypeError(f"cannot hrpass node {n!r}")
+
+        hrpass(root, _S if struct else 1.0, None)
+        return entries
+
+    # structural dry-run: the emission set must agree with _hessian_pairs
+    # (same recursion, sentinel values) — a mismatch means the two walks
+    # diverged and entries would be silently dropped.
+    emitted = run(None, None, None, struct=True)
+    for key in emitted:
+        if key not in hpos:
+            raise RuntimeError(
+                f"fused-Hessian emission {key} missing from the structural "
+                f"pair enumeration {hlist} — walks out of sync"
+            )
+
+    n_out = len(hlist)
+
+    def h(v, d, th):
+        if not n_out:
+            return jnp.zeros((0,), dtype=v.dtype)
+        entries = run(v, d, th, struct=False)
+        buf = [None] * n_out
+        for key, val in entries.items():
+            buf[hpos[key]] = val
+        zero = jnp.zeros((), dtype=v.dtype)
+        return jnp.stack(
+            [zero if b is None else jnp.asarray(b, dtype=v.dtype) for b in buf]
+        )
+
+    return h
+
+
+# ---------------------------------------------------------------------------
 # Value compilation: tree -> f(v, d, th) over gathered slot values
 # ---------------------------------------------------------------------------
 
@@ -367,6 +758,7 @@ class CompiledPattern:
     q: int  # parameter slots per element
     o2step: int
     eval_fn: Callable  # f(v, d, th) -> scalar
+    hess_entry_fn: Callable  # h(v, d, th) -> (o2step,) fused COO entries
     vidx: np.ndarray  # (n, p) int64 — global flat variable indices
     pidx: np.ndarray  # (n, q) int64 — global flat parameter indices
     data_cols: tuple  # tuple of (n,) numpy columns, data-slot order
@@ -454,6 +846,9 @@ def trace_pattern(
     )
 
     eval_fn = make_eval_fn(tree, var_slots, par_slots, data_slots)
+    hess_entry_fn = make_hess_entry_fn(
+        tree, var_slots, par_slots, data_slots, hpairs
+    )
 
     return CompiledPattern(
         tree=tree,
@@ -462,6 +857,7 @@ def trace_pattern(
         q=q,
         o2step=len(hpairs),
         eval_fn=eval_fn,
+        hess_entry_fn=hess_entry_fn,
         vidx=vidx,
         pidx=pidx,
         data_cols=data_cols,

@@ -22,12 +22,17 @@ an explicit pytree argument so they are runtime buffers, not baked constants.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# "fused" (default): single-pass edge-pushing Hessian entries;
+# "jacfwd": dense p*p forward-over-reverse fallback (differential testing)
+_HESS_MODE = os.environ.get("EXAMODELS_TPU_HESS", "fused")
 
 from .core import ConstraintAug, ExaCore, Parameter, Variable
 
@@ -50,6 +55,7 @@ class _PatternRT:
     kind: str  # "obj" | "con" | "aug"
     arrays: dict  # pytree: vidx, pidx, data, rows, hdup
     hp: tuple  # (hp_i, hp_j) small static numpy slot-pair indexers
+    hess_fn: Optional[Callable] = None  # fused (o2step,) entry fn, or None
 
 
 class ExaModel:
@@ -226,6 +232,7 @@ class ExaModel:
             kind=kind,
             arrays=arrays,
             hp=(pat.hpairs[:, 0].copy(), pat.hpairs[:, 1].copy()),
+            hess_fn=None if _HESS_MODE == "jacfwd" else pat.hess_entry_fn,
         )
 
     # ------------------------------------------------------------------
@@ -246,12 +253,20 @@ class ExaModel:
         return jax.vmap(jax.grad(rt.eval_fn, argnums=0))(xg, d, thg)
 
     def _pat_hess(self, rt: _PatternRT, arrs, x, theta):
-        """(n, o2step) Hessian COO values (unscaled by multipliers)."""
+        """(n, o2step) Hessian COO values (unscaled by multipliers).
+
+        Default path: fused single-pass edge-pushing entries
+        (compile.make_hess_entry_fn) — one traversal per element instead of
+        the p-pass jacfwd(grad) dense evaluation. EXAMODELS_TPU_HESS=jacfwd
+        selects the dense fallback (kept for differential testing)."""
         xg, d, thg = self._gather(arrs, x, theta)
-        hfull = jax.vmap(jax.jacfwd(jax.grad(rt.eval_fn, argnums=0), argnums=0))(
-            xg, d, thg
-        )  # (n, p, p)
-        ent = hfull[:, rt.hp[0], rt.hp[1]]
+        if rt.hess_fn is not None:
+            ent = jax.vmap(rt.hess_fn)(xg, d, thg)
+        else:
+            hfull = jax.vmap(
+                jax.jacfwd(jax.grad(rt.eval_fn, argnums=0), argnums=0)
+            )(xg, d, thg)  # (n, p, p)
+            ent = hfull[:, rt.hp[0], rt.hp[1]]
         return ent * arrs["hdup"]
 
     # ------------------------------------------------------------------

@@ -131,11 +131,15 @@ class ShardedEvaluator:
     def _local_hess(self, rt, arrs, x, theta):
         xg = x[arrs["vidx"]]
         thg = theta[arrs["pidx"]]
-        hfull = jax.vmap(jax.jacfwd(jax.grad(rt.eval_fn, argnums=0), argnums=0))(
-            xg, arrs["data"], thg
-        )
-        hp_i, hp_j = rt.hp
-        return hfull[:, hp_i, hp_j] * arrs["hdup"] * arrs["w"][:, None]
+        if rt.hess_fn is not None:
+            ent = jax.vmap(rt.hess_fn)(xg, arrs["data"], thg)
+        else:
+            hfull = jax.vmap(
+                jax.jacfwd(jax.grad(rt.eval_fn, argnums=0), argnums=0)
+            )(xg, arrs["data"], thg)
+            hp_i, hp_j = rt.hp
+            ent = hfull[:, hp_i, hp_j]
+        return ent * arrs["hdup"] * arrs["w"][:, None]
 
     def _shmap(self, local, out_specs, *args):
         """shard_map with replicated non-array args and element-sharded
