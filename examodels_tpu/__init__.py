@@ -60,7 +60,26 @@ from .nlp.core import (  # noqa: E402
     add_con_aug,
     add_expr,
 )
-from .nlp.model import ExaModel, set_parameter, solution, multipliers, multipliers_L, multipliers_U  # noqa: E402
+from .nlp.model import (  # noqa: E402
+    ExaModel,
+    get_lcon,
+    get_lvar,
+    get_start,
+    get_ucon,
+    get_uvar,
+    get_value,
+    multipliers,
+    multipliers_L,
+    multipliers_U,
+    set_lcon,
+    set_lvar,
+    set_parameter,
+    set_start,
+    set_ucon,
+    set_uvar,
+    set_value,
+    solution,
+)
 from .nlp.two_stage import (  # noqa: E402
     EachScenario,
     TwoStageCore,
@@ -113,6 +132,18 @@ __all__ = [
     "add_con_aug",
     "add_expr",
     "set_parameter",
+    "get_value",
+    "set_value",
+    "get_start",
+    "set_start",
+    "get_lvar",
+    "set_lvar",
+    "get_uvar",
+    "set_uvar",
+    "get_lcon",
+    "set_lcon",
+    "get_ucon",
+    "set_ucon",
     "solution",
     "multipliers",
     "multipliers_L",

@@ -560,6 +560,85 @@ def solution(result, var: Variable):
     return out.reshape(var.shape) if var.shape else out[0]
 
 
+# ---------------------------------------------------------------------------
+# Handle-sliced getters/setters
+# (parity: get_value/set_value!/get_/set_ start|lvar|uvar|lcon|ucon,
+#  /root/reference/src/nlp.jl:803-931 — views there; functional slice
+#  replacement here, since model arrays are immutable jax arrays)
+# ---------------------------------------------------------------------------
+
+
+def _slice(model_arr, offset: int, size: int, shape: tuple):
+    out = model_arr[offset : offset + size]
+    if shape and int(np.prod(shape)) == size:
+        return out.reshape(shape)
+    return out[0] if (not shape and size == 1) else out
+
+
+def _set_slice(model: "ExaModel", attr: str, offset: int, size: int, values, label: str):
+    vals = jnp.asarray(values, dtype=model.dtype).reshape(-1)
+    if vals.shape[0] != size:
+        raise ValueError(f"{label}: expected {size} values, got {vals.shape[0]}")
+    arr = getattr(model, attr)
+    setattr(model, attr, arr.at[offset : offset + size].set(vals))
+
+
+def get_value(model: ExaModel, par: Parameter):
+    """Current values of a parameter block (reshaped to the block shape)."""
+    return _slice(model.theta, par.offset, par.size, par.shape)
+
+
+def set_value(model: ExaModel, par: Parameter, values) -> None:
+    """Update a parameter block's values (no retrace; alias of set_parameter)."""
+    set_parameter(model, par, values)
+
+
+def get_start(model: ExaModel, handle):
+    """Initial point: x0 slice for a Variable, y0 slice for a Constraint."""
+    if isinstance(handle, Variable):
+        return _slice(model.x0, handle.offset, handle.size, handle.shape)
+    return _slice(model.y0, handle.offset, handle.n, handle.shape)
+
+
+def set_start(model: ExaModel, handle, values) -> None:
+    if isinstance(handle, Variable):
+        _set_slice(model, "x0", handle.offset, handle.size, values, "set_start")
+    else:
+        _set_slice(model, "y0", handle.offset, handle.n, values, "set_start")
+
+
+def get_lvar(model: ExaModel, var: Variable):
+    return _slice(model.lvar, var.offset, var.size, var.shape)
+
+
+def set_lvar(model: ExaModel, var: Variable, values) -> None:
+    _set_slice(model, "lvar", var.offset, var.size, values, "set_lvar")
+
+
+def get_uvar(model: ExaModel, var: Variable):
+    return _slice(model.uvar, var.offset, var.size, var.shape)
+
+
+def set_uvar(model: ExaModel, var: Variable, values) -> None:
+    _set_slice(model, "uvar", var.offset, var.size, values, "set_uvar")
+
+
+def get_lcon(model: ExaModel, con):
+    return _slice(model.lcon, con.offset, con.n, con.shape)
+
+
+def set_lcon(model: ExaModel, con, values) -> None:
+    _set_slice(model, "lcon", con.offset, con.n, values, "set_lcon")
+
+
+def get_ucon(model: ExaModel, con):
+    return _slice(model.ucon, con.offset, con.n, con.shape)
+
+
+def set_ucon(model: ExaModel, con, values) -> None:
+    _set_slice(model, "ucon", con.offset, con.n, values, "set_ucon")
+
+
 def multipliers(result, con) -> jnp.ndarray:
     y = result.y if hasattr(result, "y") else result
     out = jnp.asarray(y)[con.offset : con.offset + con.n]
