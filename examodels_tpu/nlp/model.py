@@ -163,13 +163,48 @@ class ExaModel:
         )
         self.nnzh = int(self._hess_rows.shape[0])
 
-        # ---- sorted accumulation plans (sort once at build) ----------------
-        cons_targets = (
-            np.concatenate([np.asarray(rt.arrays["rows"]) for rt in self._con_pats])
-            if self._con_pats
+        # ---- constraint assembly plan ---------------------------------------
+        # Base `add_con` patterns own CONTIGUOUS row ranges (offset + arange),
+        # so the base constraint vector is a pure concatenation (zero-filled
+        # over dims-only empty blocks) — no scatter, no gather. Only conaug
+        # entries need accumulation, over far fewer elements. XLA scatter /
+        # segment_sum is pathologically slow on TPU (measured ~19 ms for 200k
+        # f64 entries at 10k-bus), so shrinking its input is the single
+        # biggest cons() win; vjp through concatenate is a split, which also
+        # speeds jtprod/hprod.
+        plan: list = []  # ('pat', con_pat_index) | ('zero', size)
+        base_sorted = sorted(
+            (
+                (int(np.asarray(rt.arrays["rows"])[0]), i, rt)
+                for i, rt in enumerate(self._con_pats)
+                if rt.kind == "con" and rt.n
+            ),
+            key=lambda t: t[0],
+        )
+        cursor = 0
+        for off, i, rt in base_sorted:
+            if off < cursor:
+                raise AssertionError(
+                    "overlapping base constraint row ranges — broken builder"
+                )
+            if off > cursor:
+                plan.append(("zero", off - cursor))
+            plan.append(("pat", i))
+            cursor = off + rt.n
+        if cursor < self.ncon:
+            plan.append(("zero", self.ncon - cursor))
+        self._cons_plan = plan
+        self._aug_idx = [
+            i for i, rt in enumerate(self._con_pats) if rt.kind == "aug"
+        ]
+        aug_targets = (
+            np.concatenate(
+                [np.asarray(self._con_pats[i].arrays["rows"]) for i in self._aug_idx]
+            )
+            if self._aug_idx
             else np.zeros(0, np.int64)
         )
-        cperm, cids = _seg_perm(cons_targets)
+        aperm, aids = _seg_perm(aug_targets)
         grad_targets = (
             np.concatenate(
                 [np.asarray(rt.arrays["vidx"]).reshape(-1) for rt in self._obj_pats]
@@ -183,8 +218,8 @@ class ExaModel:
         self._static = {
             "obj": [rt.arrays for rt in self._obj_pats],
             "con": [rt.arrays for rt in self._con_pats],
-            "cperm": jnp.asarray(cperm),
-            "cids": jnp.asarray(cids),
+            "aperm": jnp.asarray(aperm),
+            "aids": jnp.asarray(aids),
             "gperm": jnp.asarray(gperm),
             "gids": jnp.asarray(gids),
         }
@@ -287,15 +322,35 @@ class ExaModel:
     def _cons_simd(self, st, x, theta):
         if not self._con_pats:
             return jnp.zeros(self.ncon, dtype=self.dtype)
-        vals = jnp.concatenate(
-            [self._pat_vals(rt, arrs, x, theta) for rt, arrs in zip(self._con_pats, st["con"])]
+        # base rows: pure concatenation in row order (zero-fill over gaps)
+        pieces = []
+        for step, arg in self._cons_plan:
+            if step == "pat":
+                pieces.append(
+                    self._pat_vals(self._con_pats[arg], st["con"][arg], x, theta)
+                )
+            else:
+                pieces.append(jnp.zeros(arg, dtype=self.dtype))
+        out = (
+            jnp.concatenate(pieces)
+            if pieces
+            else jnp.zeros(self.ncon, dtype=self.dtype)
         )
-        return jax.ops.segment_sum(
-            vals[st["cperm"]],
-            st["cids"],
-            num_segments=self.ncon,
-            indices_are_sorted=True,
-        )
+        # conaug entries: the only scatter-shaped accumulation left
+        if self._aug_idx:
+            avals = jnp.concatenate(
+                [
+                    self._pat_vals(self._con_pats[i], st["con"][i], x, theta)
+                    for i in self._aug_idx
+                ]
+            )
+            out = out + jax.ops.segment_sum(
+                avals[st["aperm"]],
+                st["aids"],
+                num_segments=self.ncon,
+                indices_are_sorted=True,
+            )
+        return out
 
     def _cons_impl(self, st, x, theta):
         out = self._cons_simd(st, x, theta)
