@@ -37,6 +37,27 @@ _HESS_MODE = os.environ.get("EXAMODELS_TPU_HESS", "fused")
 from .core import ConstraintAug, ExaCore, Parameter, Variable
 
 
+def _seg_bounds(sorted_targets: np.ndarray, num_segments: int) -> np.ndarray:
+    """Build-time: CSR-style segment boundaries of sorted target ids."""
+    return np.searchsorted(
+        sorted_targets, np.arange(num_segments + 1)
+    ).astype(np.int32)
+
+
+def _sorted_segment_sum(vals, bounds):
+    """Segment-sum of pre-sorted values via cumsum + boundary differences.
+
+    XLA's native segment_sum/scatter-add lowers to a serialized scatter on
+    TPU whose cost scales with num_segments (~19 ms for 200k f64 entries
+    into 132k segments at 10k-bus); the prefix-sum formulation is a
+    log-depth scan plus two static gathers (~5.4 ms measured, 3.5x).
+    Rounding: boundary differences of partial sums carry absolute error
+    ~eps*|prefix|, i.e. ~1e-12 for O(1e4) magnitudes — well inside IPM
+    tolerances for f64."""
+    cs = jnp.concatenate([jnp.zeros(1, vals.dtype), jnp.cumsum(vals)])
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
 def _seg_perm(targets: np.ndarray):
     """Build-time: stable sort permutation + sorted segment ids."""
     perm = np.argsort(targets, kind="stable")
@@ -205,6 +226,7 @@ class ExaModel:
             else np.zeros(0, np.int64)
         )
         aperm, aids = _seg_perm(aug_targets)
+        abounds = _seg_bounds(np.asarray(aug_targets)[aperm], self.ncon)
         grad_targets = (
             np.concatenate(
                 [np.asarray(rt.arrays["vidx"]).reshape(-1) for rt in self._obj_pats]
@@ -220,6 +242,7 @@ class ExaModel:
             "con": [rt.arrays for rt in self._con_pats],
             "aperm": jnp.asarray(aperm),
             "aids": jnp.asarray(aids),
+            "abounds": jnp.asarray(abounds),
             "gperm": jnp.asarray(gperm),
             "gids": jnp.asarray(gids),
         }
@@ -344,12 +367,7 @@ class ExaModel:
                     for i in self._aug_idx
                 ]
             )
-            out = out + jax.ops.segment_sum(
-                avals[st["aperm"]],
-                st["aids"],
-                num_segments=self.ncon,
-                indices_are_sorted=True,
-            )
+            out = out + _sorted_segment_sum(avals[st["aperm"]], st["abounds"])
         return out
 
     def _cons_impl(self, st, x, theta):
