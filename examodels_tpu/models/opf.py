@@ -172,9 +172,22 @@ def _build_data(bus_raw, gen_raw, branch_raw, baseMVA, cost_raw) -> OPFData:
 
 
 def parse_matpower(path: str) -> OPFData:
-    """Parse a MATPOWER .m case file (mpc.bus/gen/branch/gencost matrices)."""
+    """Parse a MATPOWER .m case file (mpc.bus/gen/branch/gencost matrices).
+
+    Uses the native C++ tokenizer (examodels_tpu.native) when available —
+    the data-loader role ExaPowerIO.jl plays for the reference — with a
+    pure-Python regex fallback."""
     with open(path) as f:
         text = f.read()
+
+    from ..native import parse_matpower_text
+
+    nat = parse_matpower_text(text)
+    if nat is not None and "bus" in nat:
+        return _build_data(
+            nat["bus"], nat["gen"], nat["branch"], nat["baseMVA"],
+            nat.get("gencost"),
+        )
 
     def matrix(name):
         mt = re.search(

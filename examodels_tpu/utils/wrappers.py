@@ -136,16 +136,9 @@ class CompressedModel(_Forwarding):
 
     @staticmethod
     def _plan(rows, cols, ncols_hint):
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
-        key = rows * (cols.max() + 1 if len(cols) else 1) + cols
-        perm = np.argsort(key, kind="stable")
-        sk = key[perm]
-        uniq_mask = np.concatenate([[True], sk[1:] != sk[:-1]])
-        seg = np.cumsum(uniq_mask) - 1
-        urows = rows[perm][uniq_mask]
-        ucols = cols[perm][uniq_mask]
-        return perm.astype(np.int32), seg.astype(np.int32), urows.astype(np.int32), ucols.astype(np.int32)
+        from ..native import coo_compress_plan
+
+        return coo_compress_plan(rows, cols)
 
     def jac_structure(self):
         return self._jrows, self._jcols
