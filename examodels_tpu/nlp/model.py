@@ -74,9 +74,35 @@ class _PatternRT:
     q: int
     o2step: int
     kind: str  # "obj" | "con" | "aug"
-    arrays: dict  # pytree: vidx, pidx, data, rows, hdup
+    arrays: dict  # pytree: vidx, pidx, data, rows, hdup, grows, gcols
     hp: tuple  # (hp_i, hp_j) small static numpy slot-pair indexers
     hess_fn: Optional[Callable] = None  # fused (o2step,) entry fn, or None
+    vplan: tuple = ()  # per-slot gather plan (see _slot_plan)
+
+
+def _slot_plan(col: np.ndarray):
+    """Classify one pattern slot's index column for the fast gather:
+
+    ("const", c)          — every element reads x[c]
+    ("slice", a)          — contiguous: element k reads x[a + k]
+    ("strided", a, s)     — affine: element k reads x[a + s*k]
+    ("gather",)           — generic: 2-step row gather
+
+    Affine columns are extremely common (e.g. every `x[d.i]` over
+    `d.i = arange(n)`); turning them into static slices removes them from
+    the gather bill entirely."""
+    if col.shape[0] == 1:
+        return ("const", int(col[0]))
+    d = np.diff(col)
+    s = int(d[0])
+    if (d == s).all():
+        if s == 0:
+            return ("const", int(col[0]))
+        if s == 1:
+            return ("slice", int(col[0]))
+        if s > 1:
+            return ("strided", int(col[0]), s)
+    return ("gather",)
 
 
 class ExaModel:
@@ -97,6 +123,8 @@ class ExaModel:
         self.nvar = core.nvar
         self.ncon = core.ncon
         self.npar = core.npar
+        # fast-gather padding: x viewed as (nrow, 128) rows (see _pad2d)
+        self._x_pad = (-core.nvar) % 128
 
         self.x0 = jnp.asarray(core.assemble_x0(), dtype=self.dtype)
         self.lvar = jnp.asarray(core.assemble_lvar(), dtype=self.dtype)
@@ -272,12 +300,27 @@ class ExaModel:
             for c in pat.data_cols
         )
         hr, hc = pat.hess_coords()
+        # per-slot gather plan: affine slots -> static slices; the rest go
+        # through the 2-step row gather (see _gather_fast). TPU 1-D gather
+        # is the hot-path wall (measured 6.5 ms for 504k f64 at 10k-bus;
+        # the 2-step runs 3.5x faster and slices are free).
+        vplan = tuple(_slot_plan(pat.vidx[:, j]) for j in range(pat.p))
+        gslots = [j for j, pl in enumerate(vplan) if pl[0] == "gather"]
+        if gslots:
+            gidx = pat.vidx[:, gslots]
+            grows = (gidx // 128).astype(np.int32)
+            gcols = (gidx % 128).astype(np.int32)
+        else:
+            grows = np.zeros((pat.n, 0), np.int32)
+            gcols = np.zeros((pat.n, 0), np.int32)
         arrays = {
             "vidx": pat.vidx.astype(np.int32),
             "pidx": pat.pidx.astype(np.int32),
             "data": data,
             "rows": rows.astype(np.int32) if rows is not None else np.zeros(0, np.int32),
             "hdup": pat.hess_diag_dup().astype(self.dtype),
+            "grows": grows,
+            "gcols": gcols,
             "_hrows": hr,
             "_hcols": hc,
         }
@@ -291,33 +334,92 @@ class ExaModel:
             arrays=arrays,
             hp=(pat.hpairs[:, 0].copy(), pat.hpairs[:, 1].copy()),
             hess_fn=None if _HESS_MODE == "jacfwd" else pat.hess_entry_fn,
+            vplan=vplan,
         )
 
     # ------------------------------------------------------------------
     # batched per-pattern kernels (traced under jit; XLA fuses the gathers
     # with the vmapped expression evaluation)
     # ------------------------------------------------------------------
+    def _pad2d(self, x):
+        """x padded to a multiple of 128 and viewed as (nvar/128, 128) rows —
+        the layout the fast gather reads whole rows of. Emitted once per
+        program (XLA CSEs the identical pad across patterns)."""
+        if self._x_pad:
+            x = jnp.concatenate([x, jnp.zeros(self._x_pad, dtype=x.dtype)])
+        return x.reshape(-1, 128)
+
     def _gather(self, arrs, x, theta):
+        """Plain 1-step gather — kept for the jvp/vjp (matrix-free product)
+        paths: its transpose is an n-scalar scatter, whereas the fast
+        gather's transpose would scatter full 128-lane rows."""
         xg = x[arrs["vidx"]]
         thg = theta[arrs["pidx"]]
         return xg, arrs["data"], thg
 
-    def _pat_vals(self, rt: _PatternRT, arrs, x, theta):
-        xg, d, thg = self._gather(arrs, x, theta)
+    def _gather_fast(self, rt: _PatternRT, arrs, x, x2d, theta):
+        """2-step gather: affine slots are static (strided) slices; generic
+        slots gather whole (1, 128) rows of the padded x and select the lane
+        with an on-the-fly iota mask. TPU gathers move (1, 128)-row tiles
+        per index regardless, so asking for rows is ~3.5x faster than
+        asking for scalars (measured at 10k-bus; the analogue of the
+        coalesced per-thread loads of
+        /root/reference/ext/ExaModelsKernelAbstractions.jl:608-688)."""
+        n = rt.n
+        gsel = None
+        g = arrs["grows"].shape[1]
+        if g:
+            rows = arrs["grows"].reshape(-1)
+            r = x2d[rows]  # (n*g, 128) row gather
+            lane = jax.lax.broadcasted_iota(jnp.int32, (n * g, 128), 1)
+            mask = lane == arrs["gcols"].reshape(-1, 1)
+            gsel = jnp.where(mask, r, 0).sum(axis=1).reshape(n, g)
+        cols = []
+        gj = 0
+        for pl in rt.vplan:
+            if pl[0] == "const":
+                cols.append(jnp.broadcast_to(x[pl[1]], (n,)))
+            elif pl[0] == "slice":
+                cols.append(jax.lax.slice(x, (pl[1],), (pl[1] + n,)))
+            elif pl[0] == "strided":
+                a, s = pl[1], pl[2]
+                cols.append(jax.lax.slice(x, (a,), (a + s * (n - 1) + 1,), (s,)))
+            else:
+                cols.append(gsel[:, gj])
+                gj += 1
+        xg = (
+            jnp.stack(cols, axis=1)
+            if cols
+            else jnp.zeros((n, 0), dtype=x.dtype)
+        )
+        thg = theta[arrs["pidx"]]
+        return xg, arrs["data"], thg
+
+    def _pat_vals(self, rt: _PatternRT, arrs, x, theta, x2d=None):
+        if x2d is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+        else:
+            xg, d, thg = self._gather(arrs, x, theta)
         return jax.vmap(rt.eval_fn)(xg, d, thg)
 
-    def _pat_grads(self, rt: _PatternRT, arrs, x, theta):
-        xg, d, thg = self._gather(arrs, x, theta)
+    def _pat_grads(self, rt: _PatternRT, arrs, x, theta, x2d=None):
+        if x2d is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+        else:
+            xg, d, thg = self._gather(arrs, x, theta)
         return jax.vmap(jax.grad(rt.eval_fn, argnums=0))(xg, d, thg)
 
-    def _pat_hess(self, rt: _PatternRT, arrs, x, theta):
+    def _pat_hess(self, rt: _PatternRT, arrs, x, theta, x2d=None):
         """(n, o2step) Hessian COO values (unscaled by multipliers).
 
         Default path: fused single-pass edge-pushing entries
         (compile.make_hess_entry_fn) — one traversal per element instead of
         the p-pass jacfwd(grad) dense evaluation. EXAMODELS_TPU_HESS=jacfwd
         selects the dense fallback (kept for differential testing)."""
-        xg, d, thg = self._gather(arrs, x, theta)
+        if x2d is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+        else:
+            xg, d, thg = self._gather(arrs, x, theta)
         if rt.hess_fn is not None:
             ent = jax.vmap(rt.hess_fn)(xg, d, thg)
         else:
@@ -330,19 +432,19 @@ class ExaModel:
     # ------------------------------------------------------------------
     # oracle implementations (closed over pattern eval fns; arrays via args)
     # ------------------------------------------------------------------
-    def _obj_simd(self, st, x, theta):
+    def _obj_simd(self, st, x, theta, x2d=None):
         total = jnp.zeros((), dtype=self.dtype)
         for rt, arrs in zip(self._obj_pats, st["obj"]):
-            total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta))
+            total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta, x2d))
         return total
 
     def _obj_impl(self, st, x, theta):
-        total = self._obj_simd(st, x, theta)
+        total = self._obj_simd(st, x, theta, self._pad2d(x))
         for so in self._scalar_oracles:
             total = total + so._call_f(x, self.dtype)
         return total
 
-    def _cons_simd(self, st, x, theta):
+    def _cons_simd(self, st, x, theta, x2d=None):
         if not self._con_pats:
             return jnp.zeros(self.ncon, dtype=self.dtype)
         # base rows: pure concatenation in row order (zero-fill over gaps)
@@ -350,7 +452,9 @@ class ExaModel:
         for step, arg in self._cons_plan:
             if step == "pat":
                 pieces.append(
-                    self._pat_vals(self._con_pats[arg], st["con"][arg], x, theta)
+                    self._pat_vals(
+                        self._con_pats[arg], st["con"][arg], x, theta, x2d
+                    )
                 )
             else:
                 pieces.append(jnp.zeros(arg, dtype=self.dtype))
@@ -363,7 +467,9 @@ class ExaModel:
         if self._aug_idx:
             avals = jnp.concatenate(
                 [
-                    self._pat_vals(self._con_pats[i], st["con"][i], x, theta)
+                    self._pat_vals(
+                        self._con_pats[i], st["con"][i], x, theta, x2d
+                    )
                     for i in self._aug_idx
                 ]
             )
@@ -371,7 +477,7 @@ class ExaModel:
         return out
 
     def _cons_impl(self, st, x, theta):
-        out = self._cons_simd(st, x, theta)
+        out = self._cons_simd(st, x, theta, self._pad2d(x))
         for o, off in self._oracles:
             out = jax.lax.dynamic_update_slice(
                 out, out[off : off + o.ncon] + o._call_f(x, self.dtype), (off,)
@@ -383,9 +489,10 @@ class ExaModel:
 
     def _grad_impl(self, st, x, theta):
         if self._obj_pats:
+            x2d = self._pad2d(x)
             entries = jnp.concatenate(
                 [
-                    self._pat_grads(rt, arrs, x, theta).reshape(-1)
+                    self._pat_grads(rt, arrs, x, theta, x2d).reshape(-1)
                     for rt, arrs in zip(self._obj_pats, st["obj"])
                 ]
             )
@@ -402,8 +509,9 @@ class ExaModel:
         return g
 
     def _jac_impl(self, st, x, theta):
+        x2d = self._pad2d(x)
         outs = [
-            self._pat_grads(rt, arrs, x, theta).reshape(-1)
+            self._pat_grads(rt, arrs, x, theta, x2d).reshape(-1)
             for rt, arrs in zip(self._con_pats, st["con"])
             if rt.p
         ]
@@ -417,14 +525,15 @@ class ExaModel:
         return jnp.concatenate(outs)
 
     def _hess_impl(self, st, x, y, obj_weight, theta):
+        x2d = self._pad2d(x)
         outs = []
         for rt, arrs in zip(self._obj_pats, st["obj"]):
             if rt.o2step:
-                outs.append((obj_weight * self._pat_hess(rt, arrs, x, theta)).reshape(-1))
+                outs.append((obj_weight * self._pat_hess(rt, arrs, x, theta, x2d)).reshape(-1))
         for rt, arrs in zip(self._con_pats, st["con"]):
             if rt.o2step:
                 mult = y[arrs["rows"]]
-                outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta)).reshape(-1))
+                outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta, x2d)).reshape(-1))
         for o, off in self._oracles:
             outs.append(o._call_hess(x, y[off : off + o.ncon], self.dtype))
         for ev in self._evals:
