@@ -216,10 +216,12 @@ def synthetic_case(nbus: int, *, seed: int = 7) -> OPFData:
     (≈1.4 branches/bus), ~20% generator buses — realistic AC-OPF pattern
     sizes at arbitrary scale for zero-egress benchmarking."""
     rng = np.random.default_rng(seed)
-    # ring backbone + nearest-neighbour chords: well-connected, low diameter
+    # ring backbone + geographically-local chords (real transmission grids
+    # are near-planar: RCM bandwidth of pglib cases is O(100), which is what
+    # makes the block-tridiagonal KKT factorization the right TPU backend)
     nbr_extra = int(0.6 * nbus)
     cf = rng.integers(0, nbus, nbr_extra)
-    ct = (cf + rng.integers(2, max(3, nbus // 10), nbr_extra)) % nbus
+    ct = (cf + rng.integers(2, max(3, min(64, nbus // 10)), nbr_extra)) % nbus
     f = np.concatenate([np.arange(nbus), cf])
     t = np.concatenate([(np.arange(nbus) + 1) % nbus, ct])
     keep = f != t

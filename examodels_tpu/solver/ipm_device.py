@@ -83,7 +83,16 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         if solver_kind == "blocktri":
             from .blocktri import BlockTriKKT
 
-            kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
+            try:
+                kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
+            except ValueError:  # bandwidth too large after RCM (same
+                from .kkt import CGKKT  # fallback as madipm, ipm.py:404-407)
+
+                kkt = CGKKT(structure, dtype)
+        elif solver_kind == "cg":
+            from .kkt import CGKKT
+
+            kkt = CGKKT(structure, dtype)
         else:
             kkt = DenseKKT(structure, dtype)
         F = _Funcs(model, structure, dtype, opts)
