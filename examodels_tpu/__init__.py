@@ -59,6 +59,9 @@ from .nlp.core import (  # noqa: E402
     add_con,
     add_con_aug,
     add_expr,
+    add_oracle,
+    add_scalar_oracle,
+    add_eval,
 )
 from .nlp.model import (  # noqa: E402
     ExaModel,
@@ -98,6 +101,8 @@ from .nlp.oracle import (  # noqa: E402
     has_matfree_hess,
     has_matfree_jac,
 )
+from .utils.aot import AOTModel, load_model, save_model  # noqa: E402
+from . import native  # noqa: E402
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
 from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
@@ -174,6 +179,13 @@ __all__ = [
     "flat_model",
     "bridge",
     "legacy",
+    "native",
+    "add_oracle",
+    "add_scalar_oracle",
+    "add_eval",
+    "save_model",
+    "load_model",
+    "AOTModel",
     "variable",
     "parameter",
     "objective",

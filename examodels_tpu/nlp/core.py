@@ -554,3 +554,16 @@ def add_con_aug(core: ExaCore, *args, **kwargs) -> ConstraintAug:
 
 def add_expr(core: ExaCore, *args, **kwargs) -> Expression:
     return core.add_expr(*args, **kwargs)
+
+
+def add_oracle(core: ExaCore, *args, **kwargs) -> Constraint:
+    return core.add_oracle(*args, **kwargs)
+
+
+def add_scalar_oracle(core: ExaCore, *args, **kwargs) -> None:
+    return core.add_scalar_oracle(*args, **kwargs)
+
+
+def add_eval(core: ExaCore, *args, **kwargs) -> None:
+    """Parity: add_eval, /root/reference/src/oracle.jl:1272-1393."""
+    return core.add_eval(*args, **kwargs)

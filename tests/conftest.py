@@ -28,3 +28,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/examodels_tpu_xla_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# XLA_FLAGS can be captured too early the same way; the config knob wins as
+# long as the CPU client has not initialized yet.
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: XLA_FLAGS above is the only path
