@@ -75,6 +75,11 @@ class BlockTriKKT:
         self.dtype = dtype
         self.factor_dtype = factor_dtype or dtype
         self.ir_rounds = ir_rounds if factor_dtype is None else max(ir_rounds, 6)
+        # Cholesky success of the condensed matrix is an exact inertia
+        # certificate (see DenseKKT.certifies_inertia). For a low-precision
+        # factor the certificate is the pair (f32 Cholesky succeeded, f64
+        # iterative refinement converged) — checked in _solve_impl.
+        self.certifies_inertia = True
         s = structure
         n, m = s.n, s.m
 
@@ -358,19 +363,33 @@ class BlockTriKKT:
         dy = (self._A_mv(avals, dv) - r2) / dc
 
         # iterative refinement on the regularized augmented system
-        def refine(carry, _):
-            dv, dy = carry
+        def residuals(dv, dy):
             Wdv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
                 self._W_mv(hvals, dv[: s.nx])
             )
             e1 = r1 - (Wdv + (sigma + dw) * dv + self._At_mv(avals, dy))
             e2 = r2 - (self._A_mv(avals, dv) - dc * dy)
+            return e1, e2
+
+        def refine(carry, _):
+            dv, dy = carry
+            e1, e2 = residuals(dv, dy)
             cv = chol_solve(e1 + self._At_mv(avals, e2) / dc)
             cy = (self._A_mv(avals, cv) - e2) / dc
             return (dv + cv, dy + cy), None
 
         (dv, dy), _ = jax.lax.scan(refine, (dv, dy), None, length=self.ir_rounds)
         pd_ok = ok & jnp.isfinite(dv).all()
+        if jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype):
+            # low-precision factor: a slightly-indefinite or near-singular
+            # matrix can factorize "successfully" in f32 — require the
+            # f64 iterative refinement to have actually converged before
+            # trusting the direction (this is what lets the mixed-precision
+            # path keep the inertia certificate)
+            e1, e2 = residuals(dv, dy)
+            res = jnp.sqrt(jnp.vdot(e1, e1) + jnp.vdot(e2, e2))
+            rhs_n = jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2))
+            pd_ok = pd_ok & (res <= 1e-4 * rhs_n + 1e-12)
         return dv, dy, pd_ok
 
     def solve(self, hvals, jvals, sigma, dw, dc, r1, r2):

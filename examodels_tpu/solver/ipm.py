@@ -528,7 +528,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         comp = comp0
         if opts.verbose:
             print(f"it {it:4d}  f {f_cur:+.8e}  θ {theta_cur:.2e} "
-                  f"E0 {E0:.2e}  μ {mu:.1e}  δw {delta_w_last:.1e}")
+                  f"E0 {E0:.2e}  μ {mu:.1e}  δw {delta_w_last:.1e}  "
+                  f"[d {dual_inf / sd:.1e} p {prim_inf:.1e} "
+                  f"c {comp0 / sc:.1e} sd {sd:.1e}]")
         if E0 <= opts.tol:
             status = "first_order"
             break
@@ -558,6 +560,13 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         delta_w = 0.0
         trial_w = (opts.delta_w0 if delta_w_last == 0.0
                    else max(opts.delta_w_min, opts.kappa_w_minus * delta_w_last))
+        # With an inertia-certifying backend (dense/blocktri-f64/schur
+        # Cholesky), SPD of the condensed matrix IS the correct-inertia
+        # condition, so the conservative dᵀ(W+Σ+δw)d curvature test is
+        # skipped — it spuriously triggers δw > 0 near solutions of
+        # equality-constrained problems, flooring the attainable dual
+        # infeasibility (observed stalling at E0 ≈ 1e-4 on 10k-bus AC-OPF).
+        certified = getattr(kkt, "certifies_inertia", False)
         dv = dy = None
         for _attempt in range(60):
             dv, dy, pd_ok = kkt.solve(
@@ -565,14 +574,22 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
                 jnp.full(n, delta_w, dtype=dtype), jnp.asarray(dc, dtype=dtype),
                 ev["r1"], -ev["r"],
             )
-            cchk = F.curv_check(
-                ev["hvals"], ev["sigma"], jnp.asarray(delta_w, dtype), dv
-            )
-            pd_np, cchk_np = jax.device_get((pd_ok, cchk))  # one round trip
-            if bool(pd_np) and cchk_np[2] > 0:
-                curv, dnorm = float(cchk_np[0]), float(cchk_np[1])
-                if curv >= opts.curvature_kappa * dnorm:
+            if certified:
+                cchk = F.curv_check(
+                    ev["hvals"], ev["sigma"], jnp.asarray(delta_w, dtype), dv
+                )
+                pd_np, cchk_np = jax.device_get((pd_ok, cchk))
+                if bool(pd_np) and cchk_np[2] > 0:  # SPD + finite direction
                     break
+            else:
+                cchk = F.curv_check(
+                    ev["hvals"], ev["sigma"], jnp.asarray(delta_w, dtype), dv
+                )
+                pd_np, cchk_np = jax.device_get((pd_ok, cchk))  # one round trip
+                if bool(pd_np) and cchk_np[2] > 0:
+                    curv, dnorm = float(cchk_np[0]), float(cchk_np[1])
+                    if curv >= opts.curvature_kappa * dnorm:
+                        break
             delta_w = trial_w if delta_w == 0.0 else delta_w * opts.kappa_w_plus
             if delta_w > opts.delta_w_max:
                 status = "kkt_failure"

@@ -272,10 +272,15 @@ def _build_loop(F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_flo
                 ev["hvals"], ev["jvals"], ev["sigma"],
                 jnp.full(n, dw, dtype=dtype), dc, ev["r1"], -ev["r"],
             )
-            curv = F.curvature(ev["hvals"], ev["sigma"], dw, dv2)
-            good = pd_ok & jnp.isfinite(dv2).all() & (
-                curv >= opts.curvature_kappa * jnp.vdot(dv2, dv2)
-            )
+            good = pd_ok & jnp.isfinite(dv2).all()
+            if not getattr(kkt, "certifies_inertia", False):
+                # no SPD certificate (CG / low-precision factor): keep the
+                # inertia-free curvature test (see ipm.py for why certified
+                # backends must skip it)
+                curv = F.curvature(ev["hvals"], ev["sigma"], dw, dv2)
+                good = good & (
+                    curv >= opts.curvature_kappa * jnp.vdot(dv2, dv2)
+                )
             dw_next = jnp.where(
                 good, dw, jnp.where(dw == 0.0, trial_w, dw * opts.kappa_w_plus)
             )

@@ -96,6 +96,13 @@ class DenseKKT:
     """Condensed dense KKT solve; correct for any model small enough that an
     (n × n) dense factor fits (n = nx + ns)."""
 
+    # Cholesky success of the condensed matrix K = W+Σ+δw+AᵀA/δc is an EXACT
+    # inertia certificate for the regularized augmented system (inertia is
+    # (n, m, 0) iff K ≻ 0) — the IPM can skip its conservative inertia-free
+    # curvature test when this is set (the approach of condensed-space
+    # interior-point methods, arXiv:2307.16830 companion).
+    certifies_inertia = True
+
     def __init__(self, structure: KKTStructure, dtype=jnp.float64):
         self.s = structure
         self.dtype = dtype
@@ -183,10 +190,15 @@ class DenseKKT:
 class CGKKT:
     """Jacobi-preconditioned CG on the condensed SPD operator.
 
+    No inertia certificate (CG detects indefiniteness only by luck), so the
+    IPM keeps its inertia-free curvature test with this backend.
+
     Mat-vec:  K v = [W vx; 0] + (Σ + δw) v + Aᵀ (A v) / δc
     using COO segment-sum products — the on-device SpMV analogue of
     /root/reference/ext/ExaModelsKernelAbstractions.jl:369-511.
     """
+
+    certifies_inertia = False
 
     def __init__(self, structure: KKTStructure, dtype=jnp.float64,
                  tol: float = 1e-10, maxiter: Optional[int] = None):

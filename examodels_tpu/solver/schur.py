@@ -129,6 +129,10 @@ class ScenarioSchurKKT:
     psums for the Schur reductions. S must be divisible by the axis size.
     """
 
+    # dense Cholesky blocks + SPD Schur complement: exact inertia
+    # certificate, same argument as DenseKKT.certifies_inertia
+    certifies_inertia = True
+
     def __init__(self, structure: KKTStructure, var_scen, con_scen,
                  nscen: int, dtype=jnp.float64,
                  mesh: Optional[object] = None, mesh_axis: str = "scen"):
