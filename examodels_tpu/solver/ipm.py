@@ -380,6 +380,13 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         fdt = jnp.dtype(fdt).type
     if fdt is not None and opts.delta_c_min == 0.0:
         opts.delta_c_min = 1e-5
+    if opts.delta_c_min == 0.0 and jax.default_backend() == "tpu":
+        # TPU f64 matmuls (cholesky/trisolve) are emulated with ~100x the
+        # rounding error of IEEE f64; iterative refinement converges only
+        # while eps_mm * cond(K) < 1 and cond(K) grows ~1/δc. Flooring δc
+        # keeps IR contractive — without it dual infeasibility floors around
+        # 3e-5 (measured, 4k/10k-bus AC-OPF) instead of reaching 1e-6.
+        opts.delta_c_min = 1e-6
     if solver_kind == "schur":
         from .schur import ScenarioSchurKKT
 

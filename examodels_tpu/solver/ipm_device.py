@@ -80,6 +80,10 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             fdt = jnp.dtype(fdt).type
         if fdt is not None and opts.delta_c_min == 0.0:
             opts.delta_c_min = 1e-5
+        if opts.delta_c_min == 0.0 and jax.default_backend() == "tpu":
+            # see ipm.py: TPU-emulated f64 matmul error x cond(K) must stay
+            # inside the iterative-refinement contraction region
+            opts.delta_c_min = 1e-6
         if solver_kind == "blocktri":
             from .blocktri import BlockTriKKT
 
