@@ -378,18 +378,59 @@ class BlockTriKKT:
             cy = (self._A_mv(avals, cv) - e2) / dc
             return (dv + cv, dy + cy), None
 
-        (dv, dy), _ = jax.lax.scan(refine, (dv, dy), None, length=self.ir_rounds)
-        pd_ok = ok & jnp.isfinite(dv).all()
-        if jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype):
-            # low-precision factor: a slightly-indefinite or near-singular
-            # matrix can factorize "successfully" in f32 — require the
-            # f64 iterative refinement to have actually converged before
-            # trusting the direction (this is what lets the mixed-precision
-            # path keep the inertia certificate)
-            e1, e2 = residuals(dv, dy)
-            res = jnp.sqrt(jnp.vdot(e1, e1) + jnp.vdot(e2, e2))
-            rhs_n = jnp.sqrt(jnp.vdot(r1, r1) + jnp.vdot(r2, r2))
-            pd_ok = pd_ok & (res <= 1e-4 * rhs_n + 1e-12)
+        mixed = jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype)
+        if not mixed:
+            (dv, dy), _ = jax.lax.scan(
+                refine, (dv, dy), None, length=self.ir_rounds
+            )
+            return dv, dy, ok & jnp.isfinite(dv).all()
+
+        # Mixed precision: stationary refinement contracts at rate
+        # eps_f32 * cond(K) — hopeless at IPM-tail conditioning. Krylov is
+        # forgiving of a loose preconditioner (rate ~ sqrt(cond(M^-1 K))),
+        # so run preconditioned CG on the condensed SPD operator with the
+        # f32 block factor as M^-1; all vectors and mat-vecs (segment-sums,
+        # exact on TPU) stay f64.
+        def K_mv(v):
+            Wv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
+                self._W_mv(hvals, v[: s.nx])
+            )
+            return Wv + (sigma + dw) * v + self._At_mv(
+                avals, self._A_mv(avals, v)
+            ) / dc
+
+        rhs_n2 = jnp.vdot(rhs, rhs)
+        tol2 = (1e-13) ** 2 * rhs_n2
+
+        def pcg_cond(c):
+            _, r, _, rz, it_ = c
+            return (jnp.vdot(r, r) > tol2) & (it_ < 40) & jnp.isfinite(rz)
+
+        def pcg_body(c):
+            v, r, p, rz, it_ = c
+            Kp = K_mv(p)
+            alpha = rz / jnp.vdot(p, Kp)
+            v = v + alpha * p
+            r = r - alpha * Kp
+            z = chol_solve(r)
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            return (v, r, p, rz_new, it_ + 1)
+
+        r0 = rhs - K_mv(dv)
+        z0 = chol_solve(r0)
+        dv, r_fin, _, _, _ = jax.lax.while_loop(
+            pcg_cond, pcg_body,
+            (dv, r0, z0, jnp.vdot(r0, z0), jnp.asarray(0, jnp.int32)),
+        )
+        dy = (self._A_mv(avals, dv) - r2) / dc
+        # certificate: factor succeeded AND the Krylov solve converged —
+        # a slightly-indefinite matrix that slipped through the f32
+        # Cholesky shows up as CG stagnation
+        res_ok = jnp.vdot(r_fin, r_fin) <= jnp.maximum(
+            (1e-8) ** 2 * rhs_n2, 1e-24
+        )
+        pd_ok = ok & jnp.isfinite(dv).all() & res_ok
         return dv, dy, pd_ok
 
     def solve(self, hvals, jvals, sigma, dw, dc, r1, r2):
