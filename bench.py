@@ -40,7 +40,83 @@ NBUS = int(os.environ.get("BENCH_NBUS", "10000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 K1 = int(os.environ.get("BENCH_K1", "4"))
 K2 = int(os.environ.get("BENCH_K2", "36"))
+SOLVER = os.environ.get("BENCH_SOLVER", "1") != "0"
+SOLVER_TOL = float(os.environ.get("BENCH_SOLVER_TOL", "1e-6"))
 BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
+SOLVER_BASELINE_FILE = os.path.join(ROOT, "bench_solver_baseline.json")
+
+
+def bench_solver(model):
+    """Second north-star metric (BASELINE.json): end-to-end IPM on the same
+    10k-bus AC-OPF via madipm_hybrid (f32 on-device bulk + f64 host polish)
+    to E0 <= 1e-6. Prints its own JSON line; iters/sec is the on-device
+    f32 loop's WARM rate (a second madipm_device call reuses the cached
+    compiled loop — the zero-retrace discipline — so compile time is
+    excluded, matching how the derivative metric excludes compile)."""
+    import time as _t
+
+    import jax
+
+    from examodels_tpu.solver.ipm_device import madipm_device, madipm_hybrid
+
+    t0 = _t.time()
+    r = madipm_hybrid(model, tol=SOLVER_TOL, switch_tol=1e-4, max_iter=200)
+    cold_wall = _t.time() - t0
+    det = r.detail or {}
+
+    # warm device-loop rate: same options -> cached compiled loop
+    t0 = _t.time()
+    r2 = madipm_device(
+        model, tol=max(1e-4, SOLVER_TOL), factor_dtype="float32",
+        acceptable_iter=5, acceptable_tol=max(1e-4, SOLVER_TOL) * 10,
+        max_iter=200,
+    )
+    warm_wall = _t.time() - t0
+    iters_per_sec = r2.iterations / warm_wall if warm_wall > 0 else 0.0
+
+    vs = 1.0
+    if os.path.exists(SOLVER_BASELINE_FILE):
+        with open(SOLVER_BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get("nbus") == NBUS and base.get("iters_per_sec"):
+            vs = iters_per_sec / base["iters_per_sec"]
+    else:
+        with open(SOLVER_BASELINE_FILE, "w") as f:
+            json.dump(
+                {
+                    "nbus": NBUS,
+                    "iters_per_sec": iters_per_sec,
+                    "solve_wall_s": cold_wall,
+                    "iterations": r.iterations,
+                    "status": r.status,
+                    "device": str(jax.devices()[0]),
+                    "recorded": time.strftime("%Y-%m-%d"),
+                    "protocol": "madipm_hybrid cold solve + warm device-loop rate",
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"IPM iters/sec (warm f32 device loop), AC-OPF "
+                f"{NBUS}-bus madipm_hybrid to E0<={SOLVER_TOL:g} "
+                f"(status={r.status}, iters={r.iterations} "
+                f"[coarse={det.get('coarse_iterations')}"
+                f"+polish={det.get('polish_iterations')}], "
+                f"solve_wall={cold_wall:.0f}s "
+                f"[coarse={det.get('coarse_wall', 0):.0f}s "
+                f"polish={det.get('polish_wall', 0):.0f}s], "
+                f"prim_inf={r.primal_infeasibility:.1e}, "
+                f"dual_inf={r.dual_infeasibility:.1e}, "
+                f"warm_iters={r2.iterations} in {warm_wall:.1f}s)",
+                "value": round(iters_per_sec, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(vs, 3),
+            }
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -62,20 +138,23 @@ def main():
     w = jnp.asarray(1.0, model.dtype)
     th = model.theta
 
-    def make_scan(K):
-        eps = jnp.arange(K, dtype=model.dtype) * 1e-9
-
-        def body(c, e):
+    # ONE compiled program with a dynamic trip count (fori_loop lowers to a
+    # while_loop with a runtime bound): the K1 and K2 timings share the same
+    # executable, halving bench compile time vs the two fixed-length scans
+    # of rounds 1-2 (the eval program itself is identical).
+    @jax.jit
+    def run_k(k):
+        def body(i, c):
+            e = i.astype(model.dtype) * 1e-9
             h, j = model._hess_jac_impl(st, x + e, y, w, th)
             # fold EVERY output element into the carried checksum: no entry
             # is dead, so XLA must fully evaluate both COO value arrays
-            return c + h.sum() + j.sum(), None
+            return c + h.sum() + j.sum()
 
-        return jax.jit(
-            lambda: jax.lax.scan(body, jnp.asarray(0.0, model.dtype), eps)[0]
-        )
+        return jax.lax.fori_loop(0, k, body, jnp.asarray(0.0, model.dtype))
 
-    f1, f2 = make_scan(K1), make_scan(K2)
+    f1 = lambda: run_k(K1)  # noqa: E731
+    f2 = lambda: run_k(K2)  # noqa: E731
 
     t0 = time.time()
     checksum = float(f1())  # compile + warm; host readback = true barrier
@@ -107,6 +186,25 @@ def main():
                     "protocol": "scan-slope checksum readback",
                 },
                 f,
+            )
+
+    # solver metric first; the headline derivative-throughput line stays
+    # LAST so the driver's single-line parse keeps tracking vs_baseline on
+    # the same metric across rounds (both lines land in the recorded tail)
+    if SOLVER:
+        try:
+            bench_solver(model)
+        except Exception as e:  # never let the solver phase kill the headline
+            print(
+                json.dumps(
+                    {
+                        "metric": f"IPM solver bench FAILED: {type(e).__name__}: {e}",
+                        "value": 0.0,
+                        "unit": "iters/sec",
+                        "vs_baseline": 0.0,
+                    }
+                ),
+                flush=True,
             )
 
     print(

@@ -89,9 +89,23 @@ from .nlp.two_stage import (  # noqa: E402
     TwoStageModel,
     get_con_scen,
     get_nscen,
+    get_scenario_lcon,
+    get_scenario_lvar,
+    get_scenario_start,
+    get_scenario_theta,
+    get_scenario_ucon,
+    get_scenario_uvar,
+    get_scenario_y0,
     get_var_scen,
     scenario_values,
+    set_scenario_lcon,
+    set_scenario_lvar,
+    set_scenario_start,
+    set_scenario_theta,
+    set_scenario_ucon,
+    set_scenario_uvar,
     set_scenario_values,
+    set_scenario_y0,
 )
 from .nlp.oracle import (  # noqa: E402
     OracleEvaluator,
@@ -166,6 +180,20 @@ __all__ = [
     "get_con_scen",
     "scenario_values",
     "set_scenario_values",
+    "get_scenario_start",
+    "set_scenario_start",
+    "get_scenario_lvar",
+    "set_scenario_lvar",
+    "get_scenario_uvar",
+    "set_scenario_uvar",
+    "get_scenario_y0",
+    "set_scenario_y0",
+    "get_scenario_lcon",
+    "set_scenario_lcon",
+    "get_scenario_ucon",
+    "set_scenario_ucon",
+    "get_scenario_theta",
+    "set_scenario_theta",
     "CompressedModel",
     "TimedModel",
     "WrapperModel",

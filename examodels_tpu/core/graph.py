@@ -536,11 +536,11 @@ def _register_builtin_ops():
 
 
 def _pow_impl(a, x):
-    # Integer literal exponents use lax integer_pow — exact and well-defined
-    # for negative bases (parity: _pow_val / literal_pow handling,
+    # `a**x`: with an int literal exponent, Python dispatch reaches
+    # lax.integer_pow — exact and well-defined for negative bases. The real
+    # integer_pow specialization (constant folding, x^2 -> abs2) happens at
+    # trace time in make_eval_fn (parity: _pow_val / literal_pow handling,
     # /root/reference/src/specialization.jl:193-202).
-    if isinstance(x, int):
-        return a**x
     return a**x
 
 

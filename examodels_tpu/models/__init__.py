@@ -28,6 +28,10 @@ from .opf import (
     parse_matpower,
     synthetic_case,
 )
+from .stochastic_opf import (  # noqa: F401
+    stochastic_opf_core,
+    stochastic_opf_model,
+)
 from .quadrotor import quadrotor_core, quadrotor_model
 
 __all__ = [
@@ -40,5 +44,6 @@ __all__ = [
     "catmix_core", "catmix_model", "steering_core", "steering_model",
     "rocket_core", "rocket_model", "polygon_core", "polygon_model",
     "OPFData", "parse_matpower", "synthetic_case", "ac_opf_core", "ac_opf_model",
+    "stochastic_opf_core", "stochastic_opf_model",
     "quadrotor_core", "quadrotor_model",
 ]

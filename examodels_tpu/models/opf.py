@@ -183,7 +183,9 @@ def parse_matpower(path: str) -> OPFData:
     from ..native import parse_matpower_text
 
     nat = parse_matpower_text(text)
-    if nat is not None and "bus" in nat:
+    # require every matrix the builder indexes — a partial native parse
+    # (e.g. one matrix bailed on a MATLAB construct) falls back to Python
+    if nat is not None and all(k in nat for k in ("bus", "gen", "branch")):
         return _build_data(
             nat["bus"], nat["gen"], nat["branch"], nat["baseMVA"],
             nat.get("gencost"),

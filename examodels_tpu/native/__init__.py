@@ -32,13 +32,31 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+def _default_cache_dir() -> Path:
+    """User-owned 0700 cache dir. A world-writable tempdir would let another
+    local user pre-plant a .so at the predictable hash path that CDLL then
+    executes in-process; an owned private directory closes that."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    if not os.path.isabs(base):  # e.g. HOME unset -> '~' literal
+        base = os.path.join(tempfile.gettempdir(), f"exa_cache_{os.getuid()}")
+    d = Path(base) / "examodels_tpu"
+    d.mkdir(mode=0o700, parents=True, exist_ok=True)
+    return d
+
+
 def _build_and_load() -> Optional[ctypes.CDLL]:
     src = Path(__file__).with_name("exa_native.cpp")
     tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
-    cache_dir = Path(
-        os.environ.get("EXAMODELS_TPU_NATIVE_CACHE", tempfile.gettempdir())
-    )
+    env_dir = os.environ.get("EXAMODELS_TPU_NATIVE_CACHE")
+    cache_dir = Path(env_dir) if env_dir else _default_cache_dir()
     out = cache_dir / f"exa_native_{tag}.so"
+    if out.exists():
+        st = out.stat()
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            # not ours / group+other writable: refuse to load, rebuild fresh
+            out = cache_dir / f"exa_native_{tag}_{os.getuid()}.so"
     if not out.exists():
         tmp = out.with_suffix(f".{os.getpid()}.tmp")
         cmd = [

@@ -103,8 +103,17 @@ extern "C" {
 
 void* mp_parse(const char* text, int64_t len) {
   auto* cs = new MpCase();
-  const char* p = text;
-  const char* end = text + len;
+  // Blank %-comments (to end of line) up front so the top-level `mpc.` scan
+  // cannot pick up a commented-out assignment (e.g. `% mpc.baseMVA = 200;`)
+  // as live data; newlines are preserved for row separation.
+  std::string clean(text, (size_t)len);
+  for (size_t i = 0; i < clean.size(); ++i) {
+    if (clean[i] == '%') {
+      while (i < clean.size() && clean[i] != '\n') clean[i++] = ' ';
+    }
+  }
+  const char* p = clean.data();
+  const char* end = p + clean.size();
   while (p < end) {
     const char* hit = (const char*)memmem(p, (size_t)(end - p), "mpc.", 4);
     if (!hit) break;

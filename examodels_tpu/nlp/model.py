@@ -212,6 +212,42 @@ class ExaModel:
         )
         self.nnzh = int(self._hess_rows.shape[0])
 
+        # hess_coord completeness: direct KKT backends (dense/blocktri/
+        # schur/CG) consume the coordinate Hessian; silently dropping a
+        # block makes the IPM converge to a wrong point. Track and warn.
+        self.hess_coord_complete = True
+        import warnings
+
+        for o, _off in self._oracles:
+            if o.nnzh == 0 and not o.jit_compatible and o.hess is None \
+                    and o.hvp is None and o.ncon > 0:
+                warnings.warn(
+                    f"oracle {o.name!r} declares no Hessian entries and has "
+                    "no hess/hvp callback: it is treated as curvature-free "
+                    "(linear in the Lagrangian). Supply hess or hvp if the "
+                    "residual is nonlinear.",
+                    stacklevel=2,
+                )
+        for so in self._scalar_oracles:
+            if so.jit_compatible and self.nvar > self._so_dense_limit:
+                self.hess_coord_complete = False
+                warnings.warn(
+                    f"scalar oracle {so.name!r}: nvar={self.nvar} exceeds the "
+                    f"dense-triangle limit ({self._so_dense_limit}); its "
+                    "curvature is available ONLY through hprod. Direct "
+                    "(coordinate) KKT backends will refuse this model — "
+                    "use a matrix-free solve or restructure via embed_oracle.",
+                    stacklevel=2,
+                )
+            elif not so.jit_compatible and so.hvp is None:
+                self.hess_coord_complete = False
+                warnings.warn(
+                    f"scalar oracle {so.name!r} is non-traceable and has no "
+                    "hvp: its curvature is dropped from hess_coord AND "
+                    "hprod. Supply hvp.",
+                    stacklevel=2,
+                )
+
         # ---- constraint assembly plan ---------------------------------------
         # Base `add_con` patterns own CONTIGUOUS row ranges (offset + arange),
         # so the base constraint vector is a pure concatenation (zero-filled
@@ -567,7 +603,7 @@ class ExaModel:
         out = jax.jvp(lambda xx: self._cons_simd(st, xx, theta), (x,), (v,))[1]
         for o, off in self._oracles:
             if o.jvp is not None:
-                contrib = jnp.asarray(o.jvp(x, v), dtype=self.dtype)
+                contrib = o._call_jvp(x, v, self.dtype)
             elif o.jit_compatible:
                 contrib = jax.jvp(
                     lambda xx: o._call_f(xx, self.dtype), (x,), (v,)
@@ -596,7 +632,7 @@ class ExaModel:
         for o, off in self._oracles:
             w = v[off : off + o.ncon]
             if o.vjp is not None:
-                out = out + jnp.asarray(o.vjp(x, w), dtype=self.dtype)
+                out = out + o._call_vjp(x, w, self.dtype)
             elif o.jit_compatible:
                 _, ovjp = jax.vjp(lambda xx: o._call_f(xx, self.dtype), x)
                 out = out + ovjp(w)[0]
@@ -625,7 +661,7 @@ class ExaModel:
         for o, off in self._oracles:
             w = y[off : off + o.ncon]
             if o.hvp is not None:
-                out = out + jnp.asarray(o.hvp(x, w, v), dtype=self.dtype)
+                out = out + o._call_hvp(x, w, v, self.dtype)
             elif o.jit_compatible:
                 olag = lambda xx, o=o, w=w: jnp.vdot(w, o._call_f(xx, self.dtype))  # noqa: E731
                 out = out + jax.jvp(jax.grad(olag), (x,), (v,))[1]
@@ -642,7 +678,7 @@ class ExaModel:
                 )
         for so in self._scalar_oracles:
             if so.hvp is not None:
-                out = out + obj_weight * jnp.asarray(so.hvp(x, v), dtype=self.dtype)
+                out = out + obj_weight * so._call_hvp(x, v, self.dtype)
             elif so.jit_compatible:
                 out = out + obj_weight * jax.jvp(
                     lambda xx: so._call_grad(xx, self.dtype), (x,), (v,)

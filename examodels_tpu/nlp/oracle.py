@@ -88,9 +88,32 @@ class VectorNonlinearOracle:
                 raise ValueError("explicit jac requires jac_rows/jac_cols")
             self.jac_rows = np.asarray(self.jac_rows, dtype=np.int32)
             self.jac_cols = np.asarray(self.jac_cols, dtype=np.int32)
+        elif self.jac_rows is not None and self.jac_cols is not None:
+            # declared sparsity without a values callback: coordinates are
+            # reconstructed from jvp probes at call time (parity with the
+            # reference's probe reconstruction, oracle.jl:884-910)
+            if self.jvp is None:
+                raise ValueError(
+                    "jac_rows/jac_cols without jac requires a jvp callback "
+                    "(coordinate values are reconstructed from jvp probes)"
+                )
+            self.jac_rows = np.asarray(self.jac_rows, dtype=np.int32)
+            self.jac_cols = np.asarray(self.jac_cols, dtype=np.int32)
         elif self.jit_compatible:
             # auto-dense structure, values from jax.jacfwd at call time
             # (reference auto-dense fallback, oracle.jl:117-126)
+            r, c = np.meshgrid(
+                np.arange(self.ncon), np.arange(self.nvar), indexing="ij"
+            )
+            self.jac_rows = r.reshape(-1).astype(np.int32)
+            self.jac_cols = c.reshape(-1).astype(np.int32)
+        elif self.jvp is not None:
+            # matrix-free-only non-traceable oracle: auto-dense structure,
+            # values reconstructed with nvar jvp probes when a coordinate
+            # consumer (direct KKT factorization) demands them. Silently
+            # contributing an all-zero block here would make the IPM
+            # converge to a wrong point (oracle.jl:884-910 reconstructs;
+            # we match).
             r, c = np.meshgrid(
                 np.arange(self.ncon), np.arange(self.nvar), indexing="ij"
             )
@@ -106,7 +129,18 @@ class VectorNonlinearOracle:
             self.hess_cols = np.asarray(self.hess_cols, dtype=np.int32)
             if (self.hess_rows < self.hess_cols).any():
                 raise ValueError("hessian structure must be lower triangle")
-        elif self.jit_compatible:
+        elif self.hess_rows is not None and self.hess_cols is not None:
+            # declared sparsity, values from hvp probes (oracle.jl:1104-1129)
+            if self.hvp is None:
+                raise ValueError(
+                    "hess_rows/hess_cols without hess requires an hvp "
+                    "callback (values are reconstructed from hvp probes)"
+                )
+            self.hess_rows = np.asarray(self.hess_rows, dtype=np.int32)
+            self.hess_cols = np.asarray(self.hess_cols, dtype=np.int32)
+            if (self.hess_rows < self.hess_cols).any():
+                raise ValueError("hessian structure must be lower triangle")
+        elif self.jit_compatible or self.hvp is not None:
             r, c = np.tril_indices(self.nvar)
             self.hess_rows = r.astype(np.int32)
             self.hess_cols = c.astype(np.int32)
@@ -143,9 +177,70 @@ class VectorNonlinearOracle:
                 x,
                 vmap_method="sequential",
             )
+        if not self.jit_compatible:
+            # matrix-free host oracle: reconstruct the declared coordinates
+            # with one jvp probe per distinct column (parity:
+            # /root/reference/src/oracle.jl:884-910)
+            return jax.pure_callback(
+                lambda xv: self._probe_jac_np(np.asarray(xv), dtype),
+                jax.ShapeDtypeStruct((self.nnzj,), dtype),
+                x,
+                vmap_method="sequential",
+            )
         # auto-dense via forward AD of the traceable residual
         J = jax.jacfwd(lambda xx: jnp.asarray(self.f(xx), dtype=dtype))(x)
         return J.reshape(-1)
+
+    def _call_jvp(self, x, v, dtype):
+        """J(x)·v — host-bridged when the callback is not traceable."""
+        if self.jit_compatible:
+            return jnp.asarray(self.jvp(x, v), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv, vv: np.asarray(
+                self.jvp(np.asarray(xv), np.asarray(vv)), dtype=dtype
+            ),
+            jax.ShapeDtypeStruct((self.ncon,), dtype),
+            x, v,
+            vmap_method="sequential",
+        )
+
+    def _call_vjp(self, x, w, dtype):
+        if self.jit_compatible:
+            return jnp.asarray(self.vjp(x, w), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv, wv: np.asarray(
+                self.vjp(np.asarray(xv), np.asarray(wv)), dtype=dtype
+            ),
+            jax.ShapeDtypeStruct((self.nvar,), dtype),
+            x, w,
+            vmap_method="sequential",
+        )
+
+    def _call_hvp(self, x, w, v, dtype):
+        if self.jit_compatible:
+            return jnp.asarray(self.hvp(x, w, v), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv, wv, vv: np.asarray(
+                self.hvp(np.asarray(xv), np.asarray(wv), np.asarray(vv)),
+                dtype=dtype,
+            ),
+            jax.ShapeDtypeStruct((self.nvar,), dtype),
+            x, w, v,
+            vmap_method="sequential",
+        )
+
+    def _probe_jac_np(self, xv, dtype):
+        cols = np.unique(self.jac_cols)
+        Jcols = {}
+        e = np.zeros(self.nvar)
+        for j in cols:
+            e[j] = 1.0
+            Jcols[int(j)] = np.asarray(self.jvp(xv, e), dtype=np.float64)
+            e[j] = 0.0
+        out = np.empty(self.nnzj, dtype=dtype)
+        for k, (r, c) in enumerate(zip(self.jac_rows, self.jac_cols)):
+            out[k] = Jcols[int(c)][int(r)]
+        return out
 
     def _call_hess(self, x, y, dtype):
         if self.hess is not None:
@@ -160,9 +255,33 @@ class VectorNonlinearOracle:
                 y,
                 vmap_method="sequential",
             )
+        if not self.jit_compatible:
+            # hvp-probe reconstruction (oracle.jl:1104-1129)
+            return jax.pure_callback(
+                lambda xv, yv: self._probe_hess_np(
+                    np.asarray(xv), np.asarray(yv), dtype
+                ),
+                jax.ShapeDtypeStruct((self.nnzh,), dtype),
+                x,
+                y,
+                vmap_method="sequential",
+            )
         lag = lambda xx: jnp.vdot(y, jnp.asarray(self.f(xx), dtype=dtype))  # noqa: E731
         H = jax.hessian(lag)(x)
         return H[self.hess_rows, self.hess_cols]
+
+    def _probe_hess_np(self, xv, yv, dtype):
+        cols = np.unique(self.hess_cols)
+        Hcols = {}
+        e = np.zeros(self.nvar)
+        for j in cols:
+            e[j] = 1.0
+            Hcols[int(j)] = np.asarray(self.hvp(xv, yv, e), dtype=np.float64)
+            e[j] = 0.0
+        out = np.empty(self.nnzh, dtype=dtype)
+        for k, (r, c) in enumerate(zip(self.hess_rows, self.hess_cols)):
+            out[k] = Hcols[int(c)][int(r)]
+        return out
 
 
 def has_matfree_jac(o: VectorNonlinearOracle) -> bool:
@@ -207,6 +326,18 @@ class ScalarNonlinearOracle:
                 vmap_method="sequential",
             )
         return jax.grad(lambda xx: jnp.asarray(self.f(xx), dtype=dtype))(x)
+
+    def _call_hvp(self, x, v, dtype):
+        if self.jit_compatible:
+            return jnp.asarray(self.hvp(x, v), dtype=dtype)
+        return jax.pure_callback(
+            lambda xv, vv: np.asarray(
+                self.hvp(np.asarray(xv), np.asarray(vv)), dtype=dtype
+            ),
+            jax.ShapeDtypeStruct((self.nvar,), dtype),
+            x, v,
+            vmap_method="sequential",
+        )
 
 
 @dataclass

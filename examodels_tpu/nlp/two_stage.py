@@ -28,6 +28,20 @@ __all__ = [
     "get_con_scen",
     "scenario_values",
     "set_scenario_values",
+    "get_scenario_start",
+    "set_scenario_start",
+    "get_scenario_lvar",
+    "set_scenario_lvar",
+    "get_scenario_uvar",
+    "set_scenario_uvar",
+    "get_scenario_y0",
+    "set_scenario_y0",
+    "get_scenario_lcon",
+    "set_scenario_lcon",
+    "get_scenario_ucon",
+    "set_scenario_ucon",
+    "get_scenario_theta",
+    "set_scenario_theta",
 ]
 
 
@@ -47,6 +61,7 @@ class TwoStageCore(ExaCore):
         self.nscen = int(nscen)
         self._var_scen: list[np.ndarray] = []
         self._con_scen: list[np.ndarray] = []
+        self._par_scen: list[np.ndarray] = []
 
     # -- variables ----------------------------------------------------------
     def add_var(self, shape=(), *args, **kw) -> Variable:
@@ -78,8 +93,14 @@ class TwoStageCore(ExaCore):
             (inner,) = args if args else (kw.pop("values"),)
             arr = np.asarray(inner, dtype=np.float64)
             rep = np.broadcast_to(arr, (self.nscen,) + arr.shape).copy()
-            return super().add_par(rep, **kw)
-        return super().add_par(values, *args, **kw)
+            p = super().add_par(rep, **kw)
+            self._par_scen.append(
+                np.repeat(np.arange(1, self.nscen + 1), max(1, arr.size))
+            )
+            return p
+        p = super().add_par(values, *args, **kw)
+        self._par_scen.append(np.zeros(p.size, dtype=np.int64))
+        return p
 
     # -- constraints --------------------------------------------------------
     def add_con(self, template=None, data=None, *args, **kw) -> Constraint:
@@ -106,6 +127,13 @@ class TwoStageCore(ExaCore):
             else np.zeros(0, dtype=np.int64)
         )
 
+    def par_scen(self) -> np.ndarray:
+        return (
+            np.concatenate(self._par_scen)
+            if self._par_scen
+            else np.zeros(0, dtype=np.int64)
+        )
+
     def con_scen(self) -> np.ndarray:
         return (
             np.concatenate(self._con_scen)
@@ -122,6 +150,7 @@ class TwoStageModel(ExaModel):
         self.nscen = core.nscen
         self._var_scen = core.var_scen()
         self._con_scen = core.con_scen()
+        self._par_scen = core.par_scen()
 
 
 def get_nscen(model) -> int:
@@ -152,3 +181,106 @@ def set_scenario_values(model, vec, scen: int, values, *, kind: str = "var"):
     out = np.asarray(vec)
     out[tags == scen] = values
     return out
+
+
+# ---------------------------------------------------------------------------
+# Typed per-scenario getters/setters on model arrays
+# (parity: /root/reference/src/two_stage.jl:290-409 — there they return
+#  views into core arrays; here functional slices / masked replacement of
+#  the model's immutable jax arrays. scen=0 addresses the first stage.)
+# ---------------------------------------------------------------------------
+
+
+def _scen_get(model, attr: str, scen: int, kind: str):
+    tags = model._var_scen if kind == "var" else model._con_scen
+    idx = np.flatnonzero(tags == scen)
+    return getattr(model, attr)[idx]
+
+
+def _scen_set(model, attr: str, scen: int, values, kind: str):
+    import jax.numpy as jnp
+
+    tags = model._var_scen if kind == "var" else model._con_scen
+    idx = np.flatnonzero(tags == scen)
+    vals = jnp.asarray(values, dtype=model.dtype).reshape(-1)
+    if vals.shape[0] == 1 and idx.size != 1:
+        vals = jnp.broadcast_to(vals, (idx.size,))
+    if vals.shape[0] != idx.size:
+        raise ValueError(
+            f"scenario {scen}: expected {idx.size} values, got {vals.shape[0]}"
+        )
+    setattr(model, attr, getattr(model, attr).at[idx].set(vals))
+
+
+def get_scenario_start(model, scen: int):
+    """x0 slice of scenario `scen` (0 = first-stage block)."""
+    return _scen_get(model, "x0", scen, "var")
+
+
+def set_scenario_start(model, scen: int, values):
+    _scen_set(model, "x0", scen, values, "var")
+
+
+def get_scenario_lvar(model, scen: int):
+    return _scen_get(model, "lvar", scen, "var")
+
+
+def set_scenario_lvar(model, scen: int, values):
+    _scen_set(model, "lvar", scen, values, "var")
+
+
+def get_scenario_uvar(model, scen: int):
+    return _scen_get(model, "uvar", scen, "var")
+
+
+def set_scenario_uvar(model, scen: int, values):
+    _scen_set(model, "uvar", scen, values, "var")
+
+
+def get_scenario_y0(model, scen: int):
+    return _scen_get(model, "y0", scen, "con")
+
+
+def set_scenario_y0(model, scen: int, values):
+    _scen_set(model, "y0", scen, values, "con")
+
+
+def get_scenario_lcon(model, scen: int):
+    return _scen_get(model, "lcon", scen, "con")
+
+
+def set_scenario_lcon(model, scen: int, values):
+    _scen_set(model, "lcon", scen, values, "con")
+
+
+def get_scenario_ucon(model, scen: int):
+    return _scen_get(model, "ucon", scen, "con")
+
+
+def set_scenario_ucon(model, scen: int, values):
+    _scen_set(model, "ucon", scen, values, "con")
+
+
+def get_scenario_theta(model, scen: int):
+    """θ slice of scenario `scen` over EachScenario parameters
+    (parity: per-scenario θ views, two_stage.jl:366-409)."""
+    tags = getattr(model, "_par_scen", None)
+    if tags is None or len(tags) != model.theta.shape[0]:
+        raise ValueError("model carries no per-parameter scenario tags")
+    idx = np.flatnonzero(tags == scen)
+    return model.theta[idx]
+
+
+def set_scenario_theta(model, scen: int, values):
+    import jax.numpy as jnp
+
+    tags = getattr(model, "_par_scen", None)
+    if tags is None or len(tags) != model.theta.shape[0]:
+        raise ValueError("model carries no per-parameter scenario tags")
+    idx = np.flatnonzero(tags == scen)
+    vals = jnp.asarray(values, dtype=model.dtype).reshape(-1)
+    if vals.shape[0] != idx.size:
+        raise ValueError(
+            f"scenario {scen}: expected {idx.size} values, got {vals.shape[0]}"
+        )
+    model.theta = model.theta.at[idx].set(vals)

@@ -76,10 +76,13 @@ class BlockTriKKT:
         self.factor_dtype = factor_dtype or dtype
         self.ir_rounds = ir_rounds if factor_dtype is None else max(ir_rounds, 6)
         # Cholesky success of the condensed matrix is an exact inertia
-        # certificate (see DenseKKT.certifies_inertia). For a low-precision
-        # factor the certificate is the pair (f32 Cholesky succeeded, f64
-        # iterative refinement converged) — checked in _solve_impl.
-        self.certifies_inertia = True
+        # certificate (see DenseKKT.certifies_inertia) — but ONLY when the
+        # factorization runs in the working precision. An f32 factor can
+        # succeed on a matrix whose smallest eigenvalue is negative below
+        # f32 roundoff, and IR/PCG residual convergence says nothing about
+        # definiteness, so the mixed-precision backend keeps the IPM's
+        # curvature safeguard active instead of certifying.
+        self.certifies_inertia = jnp.dtype(self.factor_dtype) == jnp.dtype(dtype)
         s = structure
         n, m = s.n, s.m
 

@@ -21,6 +21,7 @@ round (trial counts are data-dependent), with all state living on device.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time
 from dataclasses import dataclass
@@ -105,6 +106,7 @@ class IPMResult:
     complementarity: float = float("nan")
     wall_time: float = 0.0
     mu: float = float("nan")
+    detail: Optional[dict] = None  # stage breakdown (e.g. madipm_hybrid)
 
     @property
     def success(self) -> bool:
@@ -305,18 +307,6 @@ class _Funcs:
 
         self.ls_setup = jax.jit(ls_setup)
 
-        def curv_check(hvals, sigma, dw, dv):
-            dx = dv[:nx]
-            coeff = jnp.where(hr2 == hc2, 1.0, 2.0)
-            quad = jnp.sum(coeff * hvals * dx[hr2] * dx[hc2])
-            curv = quad + jnp.sum((sigma + dw) * dv * dv)
-            return jnp.stack([curv, jnp.vdot(dv, dv),
-                              jnp.isfinite(dv).all().astype(dv.dtype)])
-
-        hr2 = jnp.asarray(structure.hrows)
-        hc2 = jnp.asarray(structure.hcols)
-        self.curv_check = jax.jit(curv_check)
-
         hr = jnp.asarray(structure.hrows)
         hc = jnp.asarray(structure.hcols)
 
@@ -328,6 +318,16 @@ class _Funcs:
             return quad + jnp.sum((sigma + dw) * dv * dv)
 
         self.curvature = jax.jit(curvature)
+
+        def curv_check(hvals, sigma, dw, dv):
+            """[dᵀKd, dᵀd, all-finite] in one fetch for the host loop."""
+            return jnp.stack([
+                curvature(hvals, sigma, dw, dv),
+                jnp.vdot(dv, dv),
+                jnp.isfinite(dv).all().astype(dv.dtype),
+            ])
+
+        self.curv_check = jax.jit(curv_check)
 
         def alpha_fraction(v, dv, zl, dzl, zu, dzu, tau):
             dl = jnp.where(self.has_l, v - self.l, 1.0)
@@ -354,13 +354,22 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
     `warm_start`: an IPMResult (or dict with x/y/zl/zu) to resume from —
     used by the hybrid f32-bulk + f64-polish strategy (madipm_hybrid).
     """
-    opts = options or IPMOptions()
+    # private copy: option resolution below (delta_c_min floors, kwargs)
+    # must not leak into the caller's object across solves
+    opts = dataclasses.replace(options) if options is not None else IPMOptions()
     for k, v in kwargs.items():
         if not hasattr(opts, k):
             raise TypeError(f"unknown IPM option {k!r}")
         setattr(opts, k, v)
 
     t0 = time.time()
+    if not getattr(model, "hess_coord_complete", True):
+        raise ValueError(
+            "model's hess_coord drops a curvature block (see build "
+            "warnings): the direct KKT backends would silently converge to "
+            "a wrong point. Restructure the oracle (embed_oracle) or keep "
+            "nvar within the dense-triangle limit."
+        )
     dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
     structure = build_structure(model)
     nx, ns, m = structure.nx, structure.ns, structure.m
@@ -380,6 +389,14 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         fdt = jnp.dtype(fdt).type
     if fdt is not None and opts.delta_c_min == 0.0:
         opts.delta_c_min = 1e-5
+    if solver_kind == "schur" and opts.delta_c_min == 0.0:
+        # the scenario-Schur reduction sums S per-block contributions into
+        # S00 = K00 + Σ G_s − Σ BᵀD⁻¹B; with Ipopt's δc = 1e-8·μ^0.25
+        # schedule the AᵀA/δc terms reach ~1e10 and the S-fold summation
+        # amplifies f64 cancellation until the PD certificate fails and δw
+        # escalates (measured: 512-scenario AC-OPF stalls at E0 ≈ 9e-6 with
+        # δw ≈ 1e-2; flooring δc solves it to 1e-6 in 19 iterations)
+        opts.delta_c_min = 1e-7
     if opts.delta_c_min == 0.0 and jax.default_backend() == "tpu":
         # TPU f64 matmuls (cholesky/trisolve) are emulated with ~100x the
         # rounding error of IEEE f64; iterative refinement converges only

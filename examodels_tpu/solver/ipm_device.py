@@ -21,6 +21,7 @@ callers needing restoration re-solve with the host IPM.
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -46,13 +47,20 @@ _NFILT = 64
 
 def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
                   **kwargs) -> IPMResult:
-    opts = options or IPMOptions()
+    # private copy: resolved floors (delta_c_min) stay local to this solve
+    opts = dataclasses.replace(options) if options is not None else IPMOptions()
     for k, v in kwargs.items():
         if not hasattr(opts, k):
             raise TypeError(f"unknown IPM option {k!r}")
         setattr(opts, k, v)
 
     t0 = time.time()
+    if not getattr(model, "hess_coord_complete", True):
+        raise ValueError(
+            "model's hess_coord drops a curvature block (see build "
+            "warnings): the direct KKT backends would silently converge "
+            "to a wrong point."
+        )
     dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
 
     # the compiled loop (and its _Funcs/KKT backends) is cached on the model
@@ -458,7 +466,7 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
     """
     from .ipm import madipm
 
-    opts = options or IPMOptions()
+    opts = dataclasses.replace(options) if options is not None else IPMOptions()
     for k, v in kwargs.items():
         if not hasattr(opts, k):
             raise TypeError(f"unknown IPM option {k!r}")
@@ -485,8 +493,16 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
     polish.mu_init = max(float(r1.mu), opts.mu_min_factor * opts.tol) \
         if np.isfinite(r1.mu) else 1e-4
     polish.scaling = opts.scaling
+    t_polish = time.time()
     r2 = madipm(model, polish, theta=theta,
                 warm_start=r1 if r1.x is not None else None)
+    r2.detail = dict(
+        coarse_status=r1.status,
+        coarse_iterations=r1.iterations,
+        coarse_wall=r1.wall_time,
+        polish_iterations=r2.iterations,
+        polish_wall=time.time() - t_polish,
+    )
     r2.iterations += r1.iterations
     r2.wall_time = time.time() - t0
     return r2

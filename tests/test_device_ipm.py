@@ -10,6 +10,8 @@ from examodels_tpu.models import (
     camshape_model,
     luksan_vlcek_model,
 )
+from examodels_tpu.solver.ipm import IPMOptions
+from examodels_tpu.solver.ipm_device import madipm_hybrid
 
 
 class TestDeviceIPM:
@@ -33,6 +35,45 @@ class TestDeviceIPM:
         assert r.status == "first_order"
         rh = madipm(m, tol=1e-8, max_iter=100)
         assert abs(r.objective - rh.objective) < 1e-6 * max(1, abs(rh.objective))
+
+    def test_hybrid_lv10_anchor(self):
+        """madipm_hybrid (f32 device bulk + f64 host polish) hits the Ipopt
+        anchor — the multiplier/scaling handoff between the two conventions
+        must round-trip exactly."""
+        r = madipm_hybrid(luksan_vlcek_model(10), tol=1e-8)
+        assert r.status == "first_order"
+        np.testing.assert_allclose(
+            np.asarray(r.x), LUKSAN_VLCEK_10_SOLUTION, atol=1e-6
+        )
+
+    def test_hybrid_camshape(self):
+        m = camshape_model(30)
+        ref = madipm(m, tol=1e-8, max_iter=100)
+        r = madipm_hybrid(m, tol=1e-8, max_iter=100)
+        assert ref.status == "first_order" and r.status == "first_order"
+        assert abs(r.objective - ref.objective) < 1e-6 * max(1, abs(ref.objective))
+
+    def test_hybrid_opf200(self):
+        m = ac_opf_model(200)
+        ref = madipm(m, tol=1e-8, max_iter=200)
+        r = madipm_hybrid(m, tol=1e-8, max_iter=200)
+        assert ref.status == "first_order" and r.status == "first_order"
+        assert abs(r.objective - ref.objective) < 1e-6 * max(1, abs(ref.objective))
+
+    def test_hybrid_recovers_when_f32_stage_stalls(self):
+        """switch_tol below what an f32 factorization can reach: the coarse
+        stage ends stalled/acceptable and the f64 polish must still carry
+        the solve to first_order."""
+        m = camshape_model(20)
+        r = madipm_hybrid(m, tol=1e-8, switch_tol=1e-14, max_iter=200)
+        assert r.status == "first_order"
+        ref = madipm(m, tol=1e-8, max_iter=200)
+        assert abs(r.objective - ref.objective) < 1e-6 * max(1, abs(ref.objective))
+
+    def test_hybrid_does_not_mutate_options(self):
+        opts = IPMOptions(tol=1e-8)
+        madipm_hybrid(luksan_vlcek_model(10), opts)
+        assert opts.factor_dtype is None and opts.delta_c_min == 0.0
 
     def test_parameter_resolve_without_retrace(self):
         """set_parameter + re-solve must reuse the compiled loop."""

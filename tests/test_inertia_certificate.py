@@ -1,8 +1,10 @@
 """Inertia handling: SPD of the condensed matrix certifies correct inertia
 of the regularized augmented system, so certifying backends skip the
 conservative curvature test (which spuriously regularizes near solutions of
-equality-constrained problems); non-certifying backends (CG) keep it, and
-the mixed-precision blocktri factor must validate via IR convergence."""
+equality-constrained problems). Non-certifying backends (CG, and the
+mixed-precision blocktri factor — an f32 Cholesky can succeed on a matrix
+with a negative eigenvalue below f32 roundoff, and IR/PCG residual
+convergence says nothing about definiteness) keep the curvature test."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -22,7 +24,9 @@ def test_certificate_flags():
     k64 = BlockTriKKT(s)
     assert k64.certifies_inertia is True
     k32 = BlockTriKKT(s, factor_dtype=jnp.float32)
-    assert k32.certifies_inertia is True  # via the IR-convergence check
+    # f32 factor success is NOT an inertia certificate in f64 arithmetic:
+    # the IPM's curvature safeguard must stay active for this backend
+    assert k32.certifies_inertia is False
 
 
 def test_indefinite_lagrangian_converges():

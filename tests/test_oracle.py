@@ -144,6 +144,81 @@ class TestVectorOracle:
         assert has_matfree_jac(o) and has_matfree_hess(o)
         check_equal(m, equivalent_simd_model())
 
+    def test_host_matrix_free_probe_reconstruction(self):
+        """Non-traceable oracle with ONLY matrix-free callbacks: jac_coord/
+        hess_coord must be reconstructed from jvp/hvp probes (parity:
+        /root/reference/src/oracle.jl:884-910,1104-1129) — not silently
+        zero, which made the IPM converge to a wrong point."""
+
+        def f(xv):
+            xv = np.asarray(xv)
+            return np.array([xv[0] ** 2 + xv[1] * xv[2] - 1.0, np.sin(xv[3]) + xv[0]])
+
+        def jvp(xv, v):
+            xv, v = np.asarray(xv), np.asarray(v)
+            return np.array([
+                2 * xv[0] * v[0] + xv[2] * v[1] + xv[1] * v[2],
+                np.cos(xv[3]) * v[3] + v[0],
+            ])
+
+        def vjp(xv, w):
+            xv, w = np.asarray(xv), np.asarray(w)
+            return np.array([
+                2 * xv[0] * w[0] + w[1], xv[2] * w[0], xv[1] * w[0],
+                np.cos(xv[3]) * w[1],
+            ])
+
+        def hvp(xv, w, v):
+            xv, w, v = np.asarray(xv), np.asarray(w), np.asarray(v)
+            return np.array([
+                2 * w[0] * v[0], w[0] * v[2], w[0] * v[1],
+                -np.sin(xv[3]) * w[1] * v[3],
+            ])
+
+        # auto-dense declared structure
+        m, o = mixed_model(
+            dict(f=f, jvp=jvp, vjp=vjp, hvp=hvp, jit_compatible=False)
+        )
+        assert o.nnzj == 8 and o.nnzh == 10  # dense 2x4 + tril(4)
+        check_equal(m, equivalent_simd_model())
+        r1 = madipm(m, tol=1e-8)
+        r2 = madipm(equivalent_simd_model(), tol=1e-8)
+        assert r1.success
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-6)
+
+        # declared sparsity without jac/hess callbacks: probe onto it
+        m2, o2 = mixed_model(
+            dict(
+                f=f, jvp=jvp, vjp=vjp, hvp=hvp, jit_compatible=False,
+                jac_rows=[0, 0, 0, 1, 1], jac_cols=[0, 1, 2, 3, 0],
+                hess_rows=[0, 2, 3], hess_cols=[0, 1, 3],
+            )
+        )
+        assert o2.nnzj == 5 and o2.nnzh == 3
+        check_equal(m2, equivalent_simd_model())
+
+    def test_host_matfree_without_hvp_warns(self):
+        def f(xv):
+            xv = np.asarray(xv)
+            return np.array([xv[0] ** 2 + xv[1] * xv[2] - 1.0, np.sin(xv[3]) + xv[0]])
+
+        def jvp(xv, v):
+            xv, v = np.asarray(xv), np.asarray(v)
+            return np.array([
+                2 * xv[0] * v[0] + xv[2] * v[1] + xv[1] * v[2],
+                np.cos(xv[3]) * v[3] + v[0],
+            ])
+
+        def vjp(xv, w):
+            xv, w = np.asarray(xv), np.asarray(w)
+            return np.array([
+                2 * xv[0] * w[0] + w[1], xv[2] * w[0], xv[1] * w[0],
+                np.cos(xv[3]) * w[1],
+            ])
+
+        with pytest.warns(UserWarning, match="curvature-free"):
+            mixed_model(dict(f=f, jvp=jvp, vjp=vjp, jit_compatible=False))
+
     def test_host_callback(self):
         """Non-traceable (numpy) callbacks through jax.pure_callback —
         the adapt=Val(true) CPU-bridge analogue."""

@@ -69,6 +69,62 @@ class TestTwoStage:
         np.testing.assert_array_equal(scenario_values(m, x, 2), [3.0, 4.0])
         np.testing.assert_array_equal(scenario_values(m, x, 0), [0.5])
 
+    def test_typed_scenario_getters_setters(self):
+        """Per-scenario start/bound/θ access (parity:
+        /root/reference/src/two_stage.jl:290-409)."""
+        c, v, d, th = build_two_stage(2, 2, 1)
+        # one EachScenario parameter so θ carries scenario tags
+        c.add_par(EachScenario(), [7.0, 8.0], name="load")
+        m = TwoStageModel(c)
+
+        et.set_scenario_start(m, 1, [1.5, 2.5])
+        et.set_scenario_start(m, 0, [0.25])
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_start(m, 1)), [1.5, 2.5]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_start(m, 0)), [0.25]
+        )
+        np.testing.assert_array_equal(np.asarray(m.x0), [1.5, 2.5, 0, 0, 0.25])
+
+        et.set_scenario_lvar(m, 2, [-3.0, -4.0])
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_lvar(m, 2)), [-3.0, -4.0]
+        )
+        et.set_scenario_uvar(m, 2, 9.0)  # scalar broadcast
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_uvar(m, 2)), [9.0, 9.0]
+        )
+
+        et.set_scenario_lcon(m, 1, [-1.0, -2.0])
+        et.set_scenario_ucon(m, 1, [1.0, 2.0])
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_lcon(m, 1)), [-1.0, -2.0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_ucon(m, 1)), [1.0, 2.0]
+        )
+        et.set_scenario_y0(m, 2, [0.5, 0.5])
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_y0(m, 2)), [0.5, 0.5]
+        )
+
+        # θ: first-stage params are the 2 'th' values; each scenario owns a
+        # replicated copy of the 'load' block (two_stage.jl:182-190)
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_theta(m, 0)), [2.0, 3.0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_theta(m, 1)), [7.0, 8.0]
+        )
+        et.set_scenario_theta(m, 2, [11.0, 12.0])
+        np.testing.assert_array_equal(
+            np.asarray(et.get_scenario_theta(m, 2)), [11.0, 12.0]
+        )
+
+        with pytest.raises(ValueError):
+            et.set_scenario_start(m, 1, [1.0, 2.0, 3.0])
+
     def test_solve(self):
         """min Σ_s θ_s Σ_j (v_{s,j} − s)² + d², v free, one coupling con."""
         ns, nv = 3, 2
