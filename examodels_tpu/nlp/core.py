@@ -140,6 +140,38 @@ class Constraint:
         multi-dim, possibly symbolic index — used by conaug targets."""
         return _ravel_index(idx, self.shape, f"constraint {self.name!r}", 0)
 
+    def __getitem__(self, idx) -> "ConSlot":
+        """Conaug sugar: `con[i] + expr` inside an add_con_aug template is
+        the pair `(i, expr)` (the Python rendering of the reference's
+        `g[i] += expr` generator form, /root/reference/src/nlp.jl:202-245)."""
+        return ConSlot(self, idx)
+
+
+class ConSlot:
+    """A row of a Constraint block, awaiting an accumulated expression."""
+
+    def __init__(self, con: Constraint, idx):
+        self.con = con
+        self.idx = idx
+
+    def __add__(self, expr) -> "ConAugPair":
+        return ConAugPair(self.con, self.idx, expr)
+
+    def __sub__(self, expr) -> "ConAugPair":
+        return ConAugPair(self.con, self.idx, as_node(expr) * -1.0)
+
+    def __repr__(self):
+        return f"ConSlot({self.con.name}[{self.idx}])"
+
+
+class ConAugPair:
+    """(target row, accumulated expr) produced by the `con[i] + expr` sugar."""
+
+    def __init__(self, con: Constraint, idx, expr):
+        self.con = con
+        self.idx = idx
+        self.expr = expr
+
     def __repr__(self):
         from ..core.prettyprint import node_str
 
@@ -396,11 +428,20 @@ class ExaCore:
 
         def wrapped(d):
             out = template(d)
-            if not (isinstance(out, tuple) and len(out) == 2):
+            if isinstance(out, ConAugPair):
+                if out.con is not con:
+                    raise ValueError(
+                        f"conaug template indexes constraint "
+                        f"{out.con.name!r} but augments {con.name!r}"
+                    )
+                idx, expr = out.idx, out.expr
+            elif isinstance(out, tuple) and len(out) == 2:
+                idx, expr = out
+            else:
                 raise TypeError(
-                    "conaug template must return a (row_index, expr) pair"
+                    "conaug template must return a (row_index, expr) pair "
+                    "or use the `con[i] + expr` sugar"
                 )
-            idx, expr = out
             captured["row_node"] = con.row_index_node(idx)
             return as_node(expr)
 

@@ -78,6 +78,8 @@ class _PatternRT:
     hp: tuple  # (hp_i, hp_j) small static numpy slot-pair indexers
     hess_fn: Optional[Callable] = None  # fused (o2step,) entry fn, or None
     vplan: tuple = ()  # per-slot gather plan (see _slot_plan)
+    goffs: tuple = ()  # per generic slot: offset into the model-wide
+    # Pallas-gathered flat vector (empty when the XLA 2-step path is active)
 
 
 def _slot_plan(col: np.ndarray):
@@ -301,6 +303,40 @@ class ExaModel:
         gperm, gids = _seg_perm(grad_targets)
         self.nnzg = int(grad_targets.shape[0])
 
+        # ---- model-wide Pallas gather plan (TPU): ALL patterns' generic
+        # slots fused into ONE on-chip routing kernel per eval; each slot
+        # column becomes a static slice of the flat gathered vector
+        # (ops/gather.py). Gated to TPU + enough indices to beat the XLA
+        # 2-step path; EXAMODELS_TPU_GATHER=xla|pallas overrides.
+        self._gplan = None
+        gather_cols = []
+        mode = os.environ.get("EXAMODELS_TPU_GATHER", "auto")
+        total_g = sum(
+            rt.n * rt.arrays["grows"].shape[1]
+            for rt in self._obj_pats + self._con_pats
+        )
+        use_pallas = mode == "pallas" or (
+            mode == "auto"
+            and total_g >= 65536
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas and total_g:
+            from ..ops.gather import build_gather_plan
+
+            off = 0
+            for rt in self._obj_pats + self._con_pats:
+                vidx = np.asarray(rt.arrays["vidx"])
+                goffs = []
+                for j_slot, pl_ in enumerate(rt.vplan):
+                    if pl_[0] == "gather":
+                        gather_cols.append(vidx[:, j_slot].astype(np.int64))
+                        goffs.append(off)
+                        off += rt.n
+                rt.goffs = tuple(goffs)
+            self._gplan = build_gather_plan(
+                np.concatenate(gather_cols), self.nvar
+            )
+
         self._static = {
             "obj": [rt.arrays for rt in self._obj_pats],
             "con": [rt.arrays for rt in self._con_pats],
@@ -309,6 +345,7 @@ class ExaModel:
             "abounds": jnp.asarray(abounds),
             "gperm": jnp.asarray(gperm),
             "gids": jnp.asarray(gids),
+            "gplan": self._gplan.arrays if self._gplan else {},
         }
         self._static = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, self._static
@@ -385,6 +422,16 @@ class ExaModel:
             x = jnp.concatenate([x, jnp.zeros(self._x_pad, dtype=x.dtype)])
         return x.reshape(-1, 128)
 
+    def _gctx(self, st, x):
+        """Gather context shared by all patterns in one oracle program:
+        ("pal", flat Pallas-gathered vector) on the TPU fast path, else
+        ("xla", padded (nrow,128) view for the 2-step row gather)."""
+        if self._gplan is not None:
+            from ..ops.gather import gather_apply
+
+            return ("pal", gather_apply(self._gplan, st["gplan"], x))
+        return ("xla", self._pad2d(x))
+
     def _gather(self, arrs, x, theta):
         """Plain 1-step gather — kept for the jvp/vjp (matrix-free product)
         paths: its transpose is an n-scalar scatter, whereas the fast
@@ -393,20 +440,23 @@ class ExaModel:
         thg = theta[arrs["pidx"]]
         return xg, arrs["data"], thg
 
-    def _gather_fast(self, rt: _PatternRT, arrs, x, x2d, theta):
-        """2-step gather: affine slots are static (strided) slices; generic
-        slots gather whole (1, 128) rows of the padded x and select the lane
-        with an on-the-fly iota mask. TPU gathers move (1, 128)-row tiles
-        per index regardless, so asking for rows is ~3.5x faster than
-        asking for scalars (measured at 10k-bus; the analogue of the
-        coalesced per-thread loads of
+    def _gather_fast(self, rt: _PatternRT, arrs, x, gctx, theta):
+        """Fast gather: affine slots are static (strided) slices; generic
+        slots come either from the model-wide Pallas routing kernel's flat
+        output (slices — the TPU path, ops/gather.py) or from the 2-step
+        XLA row gather: whole (1, 128) rows of the padded x + on-the-fly
+        iota-mask lane select. TPU gathers move (1, 128)-row tiles per
+        index regardless, so asking for rows is ~3.5x faster than asking
+        for scalars (measured at 10k-bus; the analogue of the coalesced
+        per-thread loads of
         /root/reference/ext/ExaModelsKernelAbstractions.jl:608-688)."""
         n = rt.n
+        kind, gbuf = gctx
         gsel = None
         g = arrs["grows"].shape[1]
-        if g:
+        if g and kind == "xla":
             rows = arrs["grows"].reshape(-1)
-            r = x2d[rows]  # (n*g, 128) row gather
+            r = gbuf[rows]  # (n*g, 128) row gather
             lane = jax.lax.broadcasted_iota(jnp.int32, (n * g, 128), 1)
             mask = lane == arrs["gcols"].reshape(-1, 1)
             gsel = jnp.where(mask, r, 0).sum(axis=1).reshape(n, g)
@@ -420,6 +470,10 @@ class ExaModel:
             elif pl[0] == "strided":
                 a, s = pl[1], pl[2]
                 cols.append(jax.lax.slice(x, (a,), (a + s * (n - 1) + 1,), (s,)))
+            elif kind == "pal":
+                off = rt.goffs[gj]
+                cols.append(jax.lax.slice(gbuf, (off,), (off + n,)))
+                gj += 1
             else:
                 cols.append(gsel[:, gj])
                 gj += 1
@@ -431,29 +485,29 @@ class ExaModel:
         thg = theta[arrs["pidx"]]
         return xg, arrs["data"], thg
 
-    def _pat_vals(self, rt: _PatternRT, arrs, x, theta, x2d=None):
-        if x2d is not None:
-            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+    def _pat_vals(self, rt: _PatternRT, arrs, x, theta, gctx=None):
+        if gctx is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, gctx, theta)
         else:
             xg, d, thg = self._gather(arrs, x, theta)
         return jax.vmap(rt.eval_fn)(xg, d, thg)
 
-    def _pat_grads(self, rt: _PatternRT, arrs, x, theta, x2d=None):
-        if x2d is not None:
-            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+    def _pat_grads(self, rt: _PatternRT, arrs, x, theta, gctx=None):
+        if gctx is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, gctx, theta)
         else:
             xg, d, thg = self._gather(arrs, x, theta)
         return jax.vmap(jax.grad(rt.eval_fn, argnums=0))(xg, d, thg)
 
-    def _pat_hess(self, rt: _PatternRT, arrs, x, theta, x2d=None):
+    def _pat_hess(self, rt: _PatternRT, arrs, x, theta, gctx=None):
         """(n, o2step) Hessian COO values (unscaled by multipliers).
 
         Default path: fused single-pass edge-pushing entries
         (compile.make_hess_entry_fn) — one traversal per element instead of
         the p-pass jacfwd(grad) dense evaluation. EXAMODELS_TPU_HESS=jacfwd
         selects the dense fallback (kept for differential testing)."""
-        if x2d is not None:
-            xg, d, thg = self._gather_fast(rt, arrs, x, x2d, theta)
+        if gctx is not None:
+            xg, d, thg = self._gather_fast(rt, arrs, x, gctx, theta)
         else:
             xg, d, thg = self._gather(arrs, x, theta)
         if rt.hess_fn is not None:
@@ -468,19 +522,19 @@ class ExaModel:
     # ------------------------------------------------------------------
     # oracle implementations (closed over pattern eval fns; arrays via args)
     # ------------------------------------------------------------------
-    def _obj_simd(self, st, x, theta, x2d=None):
+    def _obj_simd(self, st, x, theta, gctx=None):
         total = jnp.zeros((), dtype=self.dtype)
         for rt, arrs in zip(self._obj_pats, st["obj"]):
-            total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta, x2d))
+            total = total + jnp.sum(self._pat_vals(rt, arrs, x, theta, gctx))
         return total
 
     def _obj_impl(self, st, x, theta):
-        total = self._obj_simd(st, x, theta, self._pad2d(x))
+        total = self._obj_simd(st, x, theta, self._gctx(st, x))
         for so in self._scalar_oracles:
             total = total + so._call_f(x, self.dtype)
         return total
 
-    def _cons_simd(self, st, x, theta, x2d=None):
+    def _cons_simd(self, st, x, theta, gctx=None):
         if not self._con_pats:
             return jnp.zeros(self.ncon, dtype=self.dtype)
         # base rows: pure concatenation in row order (zero-fill over gaps)
@@ -489,7 +543,7 @@ class ExaModel:
             if step == "pat":
                 pieces.append(
                     self._pat_vals(
-                        self._con_pats[arg], st["con"][arg], x, theta, x2d
+                        self._con_pats[arg], st["con"][arg], x, theta, gctx
                     )
                 )
             else:
@@ -504,7 +558,7 @@ class ExaModel:
             avals = jnp.concatenate(
                 [
                     self._pat_vals(
-                        self._con_pats[i], st["con"][i], x, theta, x2d
+                        self._con_pats[i], st["con"][i], x, theta, gctx
                     )
                     for i in self._aug_idx
                 ]
@@ -513,7 +567,7 @@ class ExaModel:
         return out
 
     def _cons_impl(self, st, x, theta):
-        out = self._cons_simd(st, x, theta, self._pad2d(x))
+        out = self._cons_simd(st, x, theta, self._gctx(st, x))
         for o, off in self._oracles:
             out = jax.lax.dynamic_update_slice(
                 out, out[off : off + o.ncon] + o._call_f(x, self.dtype), (off,)
@@ -525,10 +579,10 @@ class ExaModel:
 
     def _grad_impl(self, st, x, theta):
         if self._obj_pats:
-            x2d = self._pad2d(x)
+            gctx = self._gctx(st, x)
             entries = jnp.concatenate(
                 [
-                    self._pat_grads(rt, arrs, x, theta, x2d).reshape(-1)
+                    self._pat_grads(rt, arrs, x, theta, gctx).reshape(-1)
                     for rt, arrs in zip(self._obj_pats, st["obj"])
                 ]
             )
@@ -545,9 +599,9 @@ class ExaModel:
         return g
 
     def _jac_impl(self, st, x, theta):
-        x2d = self._pad2d(x)
+        gctx = self._gctx(st, x)
         outs = [
-            self._pat_grads(rt, arrs, x, theta, x2d).reshape(-1)
+            self._pat_grads(rt, arrs, x, theta, gctx).reshape(-1)
             for rt, arrs in zip(self._con_pats, st["con"])
             if rt.p
         ]
@@ -561,15 +615,15 @@ class ExaModel:
         return jnp.concatenate(outs)
 
     def _hess_impl(self, st, x, y, obj_weight, theta):
-        x2d = self._pad2d(x)
+        gctx = self._gctx(st, x)
         outs = []
         for rt, arrs in zip(self._obj_pats, st["obj"]):
             if rt.o2step:
-                outs.append((obj_weight * self._pat_hess(rt, arrs, x, theta, x2d)).reshape(-1))
+                outs.append((obj_weight * self._pat_hess(rt, arrs, x, theta, gctx)).reshape(-1))
         for rt, arrs in zip(self._con_pats, st["con"]):
             if rt.o2step:
                 mult = y[arrs["rows"]]
-                outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta, x2d)).reshape(-1))
+                outs.append((mult[:, None] * self._pat_hess(rt, arrs, x, theta, gctx)).reshape(-1))
         for o, off in self._oracles:
             outs.append(o._call_hess(x, y[off : off + o.ncon], self.dtype))
         for ev in self._evals:

@@ -1,0 +1,269 @@
+"""Pallas TPU gather kernel: N scalar gathers from x with x resident in VMEM.
+
+The derivative hot path gathers every pattern's non-affine variable slots
+from x each evaluation (~288k gathers from an 88k vector at 10k-bus AC-OPF).
+XLA's best formulation on TPU — a (1,128)-row gather per index plus an
+iota-mask lane reduction — streams an (N,128) intermediate through HBM
+(~1.5 GB, measured 1.7-2.0 ms). x itself is only ~1 MB: this kernel keeps it
+in VMEM and routes values to their output positions with the only on-chip
+movement primitives this hardware's Mosaic stack supports (probed one by
+one: sublane-direction dynamic gather works only within one 8-row vreg,
+predicated — pl.when — compute regions and ANY `grid=` pipelined
+pallas_call crash the remote backend compiler, so none of those appear
+here):
+
+  * `tpu.dynamic_gather` along LANES (per-row independent 128-lane
+    shuffle, any row count),
+  * 128x128 `tpu.transpose`.
+
+Routing for the item at output position (il, j) of output tile t with
+source (row r, lane c) in x2d (the (NBLK*128, 128) padded view of x),
+r = 128*b + r2:
+
+    a    = dyngather_lanes(x_block_b, C1)   # a[r2, j]  = xb[r2, C1[r2, j]]
+    aT   = a.T                              # aT[j, r2]
+    oT   = dyngather_lanes(aT, C3)          # oT[j, il] = xb[C3[j,il], C1[C3,j]]
+
+with C3[j, il] = r2 and C1[r2, j] = c. Two items may claim the same C1 cell
+— same (source row, output lane) within a tile — so items get a build-time
+rank and each active (block b, rank p) pair of a tile becomes a JOB
+(measured at 10k-bus: 7 ranks, 153 active jobs over 18 tiles). Jobs run in
+grid-less pallas_calls of a FIXED chunk size (4 jobs), chained per tile
+through a carried accumulator in transposed space; value-level
+`where(selT == jid)` accumulates, and one XLA transpose at the very end
+restores [il, j] order. The fixed shape matters more than anything else
+here: each DISTINCT Mosaic kernel costs ~5 minutes through this machine's
+remote-compile tunnel while identical payloads are cached perfectly
+(measured: k=1 call 307s, k=2..8 calls of the same kernel 0.5s), so the
+whole gather uses exactly one kernel shape per (model width, dtype).
+
+float64 (TPU-emulated; `lax.bitcast_convert_type` f64<->u32 does not compile
+on this stack) travels as TWO f32 planes:
+
+    a = f32(x); b = f32(x - a);   x == a + b at device precision
+
+This is exact for THIS backend's f64: measured, a device round-trip of an
+f64 array already truncates to ~48 significand bits (f32x2 emulation — the
+third-plane residual x - a - b is identically zero on device), so the
+two-plane representation loses nothing relative to any other on-device op.
+
+This is the TPU answer to the coalesced per-thread loads of the reference's
+GPU kernels (/root/reference/ext/ExaModelsKernelAbstractions.jl:608-688).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = ["GatherPlan", "build_gather_plan", "gather_apply"]
+
+# fixed jobs per pallas_call: one kernel shape total. Per-tile job counts
+# pad up to a multiple of CHUNK (measured waste ~17% at 10k-bus) — far
+# cheaper than a second ~5-minute Mosaic compile for another shape.
+_CHUNK = 4
+
+
+@dataclass
+class GatherPlan:
+    n: int            # requested gather count
+    nvar: int
+    nblk: int         # x blocks of (128,128)
+    T: int            # output tiles of (128,128)
+    jobs: list        # per tile: (k*CHUNK, 2) i32 [blk, local jid], padded
+    C1: list          # per tile: (k*CHUNK*128, 128) i32 lane map [r2,j]->c
+    C3: list          # per tile: (128, 128) i32 row map          [j,il]->r2
+    selT: list        # per tile: (128, 128) i32 local job id     [j,il]
+    x_pad: int        # zeros appended to x
+
+    @property
+    def arrays(self):
+        import jax.numpy as jnp
+
+        return dict(
+            jobs=[jnp.asarray(a) for a in self.jobs],
+            C1=[jnp.asarray(a) for a in self.C1],
+            C3=[jnp.asarray(a) for a in self.C3],
+            selT=[jnp.asarray(a) for a in self.selT],
+        )
+
+
+def build_gather_plan(idx, nvar: int) -> GatherPlan:
+    """Static routing plan for out[k] = x[idx[k]], k < len(idx)."""
+    idx = np.asarray(idx, dtype=np.int64).reshape(-1)
+    n = int(idx.shape[0])
+    if n == 0:
+        raise ValueError("empty gather")
+    if idx.min() < 0 or idx.max() >= nvar:
+        raise ValueError("gather index out of bounds")
+    nblk = max(1, -(-nvar // (128 * 128)))
+    nrows = nblk * 128
+    x_pad = nrows * 128 - nvar
+
+    mrows = -(-n // 128)
+    T = -(-mrows // 128)
+    npad = T * 128 * 128
+    ii = np.zeros(npad, dtype=np.int64)
+    ii[:n] = idx
+    # padding must cycle BOTH lanes and rows: constant-row padding places
+    # every padded item of a tile in one (source row, lane) group and blows
+    # the per-tile job count up to the padded-row count
+    ii[n:] = np.arange(npad - n) % min(nvar, 128 * 128)
+
+    r = ii // 128                      # source row in the (nrows,128) view
+    c = (ii % 128).astype(np.int32)
+    blk = (r // 128).astype(np.int32)
+    r2 = (r % 128).astype(np.int32)
+    pos = np.arange(npad)
+    tile = (pos // (128 * 128)).astype(np.int32)
+    il = ((pos // 128) % 128).astype(np.int32)   # out row within tile
+    j = (pos % 128).astype(np.int32)             # out lane
+
+    # rank within collision group (tile, blk, r2, j)
+    key = ((tile.astype(np.int64) * nblk + blk) * 128 + r2) * 128 + j
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    newgrp = np.concatenate([[True], sk[1:] != sk[:-1]])
+    grp = np.cumsum(newgrp) - 1
+    first = np.flatnonzero(newgrp)
+    rank = np.empty(npad, dtype=np.int32)
+    rank[order] = (np.arange(npad) - first[grp]).astype(np.int32)
+    P = int(rank.max()) + 1
+
+    jobs, C1s, C3s, sels = [], [], [], []
+    combo = (tile.astype(np.int64) * nblk + blk) * P + rank
+    for t in range(T):
+        m = slice(t * 128 * 128, (t + 1) * 128 * 128)
+        uc, local = np.unique(combo[m], return_inverse=True)
+        Jt = len(uc)
+        Jb = -(-Jt // _CHUNK) * _CHUNK
+        jb = np.zeros((Jb, 2), dtype=np.int32)
+        jb[:, 1] = -1                                 # padded jobs never match
+        jb[:Jt, 0] = ((uc // P) % nblk).astype(np.int32)
+        jb[:Jt, 1] = np.arange(Jt, dtype=np.int32)
+        C1 = np.zeros((Jb, 128, 128), dtype=np.int32)
+        C1[local, r2[m], j[m]] = c[m]
+        C3 = np.zeros((128, 128), dtype=np.int32)
+        C3[j[m], il[m]] = r2[m]
+        sel = np.zeros((128, 128), dtype=np.int32)
+        sel[j[m], il[m]] = local.astype(np.int32)
+        jobs.append(jb)
+        C1s.append(C1.reshape(Jb * 128, 128))
+        C3s.append(C3)
+        sels.append(sel)
+
+    return GatherPlan(
+        n=n, nvar=nvar, nblk=nblk, T=T,
+        jobs=jobs, C1=C1s, C3=C3s, selT=sels, x_pad=x_pad,
+    )
+
+
+def _dg_lanes(x, idxs):
+    """out[i, j] = x[i, idxs[i, j]] — lowers to tpu.dynamic_gather(dim=1)."""
+    from jax import lax
+
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return lax.gather(x, idxs[..., None], dnums, (1, 1),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+@lru_cache(maxsize=None)
+def _chunk_call(nblk: int, nplanes: int, interpret: bool = False):
+    """THE kernel: one fixed shape per (model width, planes) — runs _CHUNK
+    jobs of one tile and folds them into the carried accumulator planes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(jobs_ref, c1_ref, c3_ref, sel_ref, *rest):
+        x_refs = rest[:nplanes]
+        prev_refs = rest[nplanes:2 * nplanes]
+        o_refs = rest[2 * nplanes:]
+        C3 = c3_ref[:]
+        selv = sel_ref[:]
+        accs = [pr[:] for pr in prev_refs]
+        for q in range(_CHUNK):
+            blk = jobs_ref[q, 0]
+            jid = jobs_ref[q, 1]
+            C1q = c1_ref[q * 128:(q + 1) * 128, :]
+            sel = selv == jid
+            row0 = pl.multiple_of(blk * 128, 128)
+            for k, xr in enumerate(x_refs):
+                xb = xr[pl.ds(row0, 128), :]
+                oT = _dg_lanes(_dg_lanes(xb, C1q).T, C3)
+                accs[k] = jnp.where(sel, oT, accs[k])
+        for o_ref, acc in zip(o_refs, accs):
+            o_ref[:] = acc
+
+    return pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 2 * nplanes),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(nplanes)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((128, 128), jnp.float32)
+            for _ in range(nplanes)
+        ),
+        interpret=interpret,
+    )
+
+
+def gather_apply(plan: GatherPlan, dev_arrays: dict, x, *,
+                 interpret: bool = False):
+    """out[k] = x[idx[k]] (jit-traceable). `dev_arrays` = plan.arrays
+    (device copies made once at model build). `interpret=True` runs the
+    kernels in the Pallas interpreter (CPU tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    nblk, T = plan.nblk, plan.T
+    if plan.x_pad:
+        x = jnp.concatenate([x, jnp.zeros(plan.x_pad, x.dtype)])
+    f64 = x.dtype == jnp.float64
+    shape2 = (nblk * 128, 128)
+    if f64:
+        a = x.astype(jnp.float32)
+        b = (x - a.astype(jnp.float64)).astype(jnp.float32)
+        planes = (a.reshape(shape2), b.reshape(shape2))
+    else:
+        planes = (x.astype(jnp.float32).reshape(shape2),)
+    np_ = len(planes)
+
+    call = _chunk_call(nblk, np_, interpret)
+    zero = jnp.zeros((128, 128), jnp.float32)
+    tiles = []
+    for t in range(T):
+        Jb = plan.jobs[t].shape[0]
+        accs = (zero,) * np_
+        for q0 in range(0, Jb, _CHUNK):
+            accs = tuple(call(
+                jax.lax.slice(dev_arrays["jobs"][t], (q0, 0), (q0 + _CHUNK, 2)),
+                jax.lax.slice(
+                    dev_arrays["C1"][t], (q0 * 128, 0),
+                    ((q0 + _CHUNK) * 128, 128),
+                ),
+                dev_arrays["C3"][t], dev_arrays["selT"][t],
+                *planes, *accs,
+            ))
+        tiles.append(accs)
+
+    # un-transpose: accumulation ran in [j, il] space; flat order is [il, j]
+    def flat(k):
+        return jnp.stack([tt[k].T for tt in tiles]).reshape(-1)
+
+    if f64:
+        out = flat(0).astype(jnp.float64) + flat(1).astype(jnp.float64)
+    else:
+        out = flat(0)
+    return out[: plan.n]

@@ -17,6 +17,17 @@ communication is the reduction of targeted accumulations:
 
 This mirrors FSDP-style replicated-param + reduced-grad structurally, riding
 ICI via XLA psum, and is the foundation for the two-stage scenario mesh axis.
+
+SCOPE: this evaluator is the element-axis sharding *correctness dryrun* —
+its `newton_step` assembles replicated dense (m+n)² systems, which is fine
+for validating shardings on a virtual mesh and useless at 10k-bus scale.
+Production multi-chip solving goes through the SCENARIO mesh instead:
+`madipm(model, linear_solver="schur", mesh=parallel.scenario_mesh())` on a
+TwoStageModel — the per-scenario KKT blocks factor on their own devices and
+the first-stage Schur reductions psum over ICI (solver/schur.py). For
+single-scenario problems that exceed one chip, shard the scenario axis of a
+synthetic replication or wait for the sharded-blocktri backend; do NOT
+build on `newton_step`.
 """
 
 from __future__ import annotations

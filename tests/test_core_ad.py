@@ -148,6 +148,45 @@ class TestLuksanVlcek:
         H2 = coo_to_dense(*m2.hess_structure(), m2.hess_coord(x, y), m2.nvar, m2.nvar, True)
         np.testing.assert_allclose(H1, H2, rtol=1e-12, atol=1e-14)
 
+    def test_conaug_sugar_equals_pair_form(self):
+        """`con[i] + expr` sugar == (i, expr) pair form: same nnz counts
+        and identical values (the reference's `g[i] += expr` sugar test,
+        /root/reference/test/NLPTest/conaug_test.jl vs
+        /root/reference/src/nlp.jl:202-245)."""
+
+        def build(sugar):
+            c = ExaCore()
+            x = c.add_var(6, start=0.3, name="x")
+            con = c.add_con(lambda i: x[i] - 0.1, range(4), name="g")
+            if sugar:
+                c.add_con_aug(con, lambda i: con[i] + sin(x[i + 1]) * x[i], range(4))
+                c.add_con_aug(con, lambda i: con[i + 1] - x[i] ** 2, range(3))
+            else:
+                c.add_con_aug(con, lambda i: (i, sin(x[i + 1]) * x[i]), range(4))
+                c.add_con_aug(con, lambda i: (i + 1, -(x[i] ** 2)), range(3))
+            return ExaModel(c)
+
+        m1, m2 = build(True), build(False)
+        assert m1.nnzj == m2.nnzj and m1.nnzh == m2.nnzh
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(6) * 0.4
+        y = rng.standard_normal(4)
+        np.testing.assert_allclose(m1.cons(x), m2.cons(x), rtol=1e-13)
+        J1 = coo_to_dense(*m1.jac_structure(), m1.jac_coord(x), 4, 6)
+        J2 = coo_to_dense(*m2.jac_structure(), m2.jac_coord(x), 4, 6)
+        np.testing.assert_allclose(J1, J2, rtol=1e-13, atol=1e-15)
+        H1 = coo_to_dense(*m1.hess_structure(), m1.hess_coord(x, y), 6, 6, True)
+        H2 = coo_to_dense(*m2.hess_structure(), m2.hess_coord(x, y), 6, 6, True)
+        np.testing.assert_allclose(H1, H2, rtol=1e-13, atol=1e-15)
+
+        # mismatched handle is an error
+        c = ExaCore()
+        x = c.add_var(3)
+        g1 = c.add_con(lambda i: x[i], range(2), name="g1")
+        g2 = c.add_con(lambda i: x[i], range(2), name="g2")
+        with pytest.raises(ValueError, match="augments"):
+            c.add_con_aug(g1, lambda i: g2[i] + x[i] ** 2, range(2))
+
 
 class TestOpCoverage:
     """Many-operator composite templates (ADTest analogue,

@@ -116,3 +116,106 @@ def test_nvar_not_multiple_of_128(mixed_model):
     model, _ = mixed_model
     assert model.nvar == 80
     assert model._x_pad == 48
+
+
+class TestPallasGatherPlan:
+    """ops/gather.py — the TPU on-chip routing kernel, run here through the
+    Pallas interpreter (CPU). The f64 two-plane split is exact at the TPU's
+    f32x2 device precision (~2^-48); on CPU (true f64) the comparison gets
+    that tolerance."""
+
+    def _plan(self, idx, nvar):
+        from examodels_tpu.ops.gather import build_gather_plan
+
+        return build_gather_plan(idx, nvar)
+
+    def test_random_f32_exact(self):
+        import jax.numpy as jnp
+
+        from examodels_tpu.ops.gather import gather_apply
+
+        rng = np.random.default_rng(0)
+        nvar, n = 300, 5000
+        idx = rng.integers(0, nvar, n)
+        plan = self._plan(idx, nvar)
+        x = jnp.asarray(rng.standard_normal(nvar), jnp.float32)
+        out = np.asarray(
+            gather_apply(plan, plan.arrays, x, interpret=True)
+        )
+        np.testing.assert_array_equal(out, np.asarray(x)[idx])
+
+    def test_random_f64_split_precision(self):
+        import jax.numpy as jnp
+
+        from examodels_tpu.ops.gather import gather_apply
+
+        rng = np.random.default_rng(1)
+        nvar, n = 1000, 40000
+        idx = rng.integers(0, nvar, n)
+        plan = self._plan(idx, nvar)
+        xv = rng.standard_normal(nvar) * 100
+        x = jnp.asarray(xv, jnp.float64)
+        out = np.asarray(
+            gather_apply(plan, plan.arrays, x, interpret=True)
+        )
+        np.testing.assert_allclose(out, xv[idx], rtol=2e-14)
+
+    def test_clustered_indices(self):
+        """Heavy duplication/locality (the real OPF profile): many items per
+        (row, lane) group exercises multi-rank jobs."""
+        import jax.numpy as jnp
+
+        from examodels_tpu.ops.gather import gather_apply
+
+        rng = np.random.default_rng(2)
+        nvar = 400
+        idx = np.concatenate([
+            np.full(700, 3), rng.integers(0, 5, 2000),
+            rng.integers(0, nvar, 3000),
+        ])
+        plan = self._plan(idx, nvar)
+        x = jnp.asarray(rng.standard_normal(nvar), jnp.float32)
+        out = np.asarray(
+            gather_apply(plan, plan.arrays, x, interpret=True)
+        )
+        np.testing.assert_array_equal(out, np.asarray(x)[idx])
+
+    def test_bounds_check(self):
+        from examodels_tpu.ops.gather import build_gather_plan
+
+        with pytest.raises(ValueError):
+            build_gather_plan(np.array([0, 5, 100]), 100)
+
+    def test_model_pallas_path_matches_xla(self, monkeypatch):
+        """Force the model's Pallas gather path (interpreted) and compare
+        every oracle against the XLA 2-step path."""
+        from functools import lru_cache
+
+        import examodels_tpu.ops.gather as G
+
+        orig = G._chunk_call.__wrapped__
+
+        @lru_cache(maxsize=None)
+        def interp(nblk, np_, interpret=False):
+            return orig(nblk, np_, True)
+
+        monkeypatch.setattr(G, "_chunk_call", interp)
+        monkeypatch.setenv("EXAMODELS_TPU_GATHER", "pallas")
+        from examodels_tpu.models import ac_opf_model
+
+        m = ac_opf_model(30)
+        assert m._gplan is not None
+        monkeypatch.setenv("EXAMODELS_TPU_GATHER", "xla")
+        m2 = ac_opf_model(30)
+        assert m2._gplan is None
+        rng = np.random.default_rng(3)
+        x = np.asarray(m.x0) + 0.01 * rng.standard_normal(m.nvar)
+        y = rng.standard_normal(m.ncon)
+        for name in ("obj", "cons", "grad", "jac_coord"):
+            a = np.asarray(getattr(m, name)(x))
+            b = np.asarray(getattr(m2, name)(x))
+            scale = max(1.0, np.abs(b).max())
+            assert np.abs(a - b).max() < 1e-13 * scale, name
+        h1 = np.asarray(m.hess_coord(x, y))
+        h2 = np.asarray(m2.hess_coord(x, y))
+        assert np.abs(h1 - h2).max() < 1e-13 * max(1.0, np.abs(h2).max())

@@ -20,9 +20,30 @@ from examodels_tpu.models import (
 from examodels_tpu.nlp.model import ExaModel
 
 CASE3 = os.path.join(os.path.dirname(__file__), "data", "case3.m")
+CASE9 = os.path.join(os.path.dirname(__file__), "data", "case9.m")
 
 
 class TestParser:
+    def test_case9_real_case_end_to_end(self):
+        """WSCC 9-bus (published data, transcribed in tests/data/case9.m):
+        parser invariants + IPM solve against the well-known MATPOWER
+        runopf('case9') objective 5296.69 $/h — validates the full
+        parse -> per-unit conversion -> model -> solve chain on a real
+        case (parity: /root/reference/test/NLPTest/power.jl:1-17, which
+        downloads pglib cases; this image has no egress)."""
+        d = parse_matpower(CASE9)
+        assert d.nbus == 9 and d.ngen == 3 and d.nbranch == 9
+        assert d.narc == 18 and d.baseMVA == 100.0
+        np.testing.assert_allclose(d.bus["pd"].sum(), 3.15)  # 315 MW
+        np.testing.assert_allclose(d.gen["pmax"], [2.5, 3.0, 2.7])
+        # cost per-unit conversion: c2*base^2, c1*base
+        np.testing.assert_allclose(d.gen["c2"], [1100.0, 850.0, 1225.0])
+        np.testing.assert_allclose(d.gen["c1"], [500.0, 120.0, 100.0])
+        assert d.ref_buses.tolist() == [0]
+
+        r = madipm(ac_opf_model(d), tol=1e-8)
+        assert r.status == "first_order"
+        assert abs(float(r.objective) - 5296.69) < 0.01
     def test_case3(self):
         d = parse_matpower(CASE3)
         assert d.nbus == 3
