@@ -121,6 +121,7 @@ from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
 from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
 from .bridge import FlatCore, flat_model  # noqa: E402
+from .core.prettyprint import full_display, show_tree, tree_str  # noqa: E402
 from . import bridge  # noqa: E402
 from .nlp import legacy  # noqa: E402
 from .nlp.legacy import (  # noqa: E402
@@ -194,6 +195,9 @@ __all__ = [
     "set_scenario_ucon",
     "get_scenario_theta",
     "set_scenario_theta",
+    "full_display",
+    "show_tree",
+    "tree_str",
     "CompressedModel",
     "TimedModel",
     "WrapperModel",

@@ -117,10 +117,10 @@ class Objective:
     name: str = "obj"
 
     def __repr__(self):
-        from ..core.prettyprint import node_str
+        from ..core.prettyprint import abbrev, node_str
 
         return (
-            f"Objective {self.name}: sum of {node_str(self.pattern.tree)} "
+            f"Objective {self.name}: sum of {abbrev(node_str(self.pattern.tree))} "
             f"over {self.pattern.n} elements"
         )
 
@@ -145,6 +145,17 @@ class Constraint:
         the pair `(i, expr)` (the Python rendering of the reference's
         `g[i] += expr` generator form, /root/reference/src/nlp.jl:202-245)."""
         return ConSlot(self, idx)
+
+    def __repr__(self):
+        from ..core.prettyprint import abbrev, node_str
+
+        body = (
+            node_str(self.pattern.tree) if self.pattern is not None else "<empty>"
+        )
+        return (
+            f"Constraint {self.name} [{self.offset}:{self.offset + self.n}]: "
+            f"{abbrev(body)} over {self.n} rows"
+        )
 
 
 class ConSlot:
@@ -171,17 +182,6 @@ class ConAugPair:
         self.con = con
         self.idx = idx
         self.expr = expr
-
-    def __repr__(self):
-        from ..core.prettyprint import node_str
-
-        body = (
-            node_str(self.pattern.tree) if self.pattern is not None else "<empty>"
-        )
-        return (
-            f"Constraint {self.name} [{self.offset}:{self.offset + self.n}]: "
-            f"{body} over {self.n} rows"
-        )
 
 
 @dataclass

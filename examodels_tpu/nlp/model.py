@@ -351,6 +351,17 @@ class ExaModel:
             lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, self._static
         )
 
+        # always-on call counters (parity: NLPModels.Counters attached to
+        # every model, /root/reference/src/nlp.jl:447,520; TimedModel adds
+        # wall-times on top)
+        self.counters = {
+            k: 0
+            for k in (
+                "obj", "cons", "grad", "jac", "hess", "hess_jac",
+                "jprod", "jtprod", "hprod",
+            )
+        }
+
         # ---- jitted oracle methods -----------------------------------------
         self._jit_obj = jax.jit(self._obj_impl)
         self._jit_cons = jax.jit(self._cons_impl)
@@ -754,18 +765,23 @@ class ExaModel:
         return self.theta if theta is None else jnp.asarray(theta, dtype=self.dtype)
 
     def obj(self, x, *, theta=None):
+        self.counters["obj"] += 1
         return self._jit_obj(self._static, self._x(x), self._th(theta))
 
     def cons(self, x, *, theta=None):
+        self.counters["cons"] += 1
         return self._jit_cons(self._static, self._x(x), self._th(theta))
 
     def grad(self, x, *, theta=None):
+        self.counters["grad"] += 1
         return self._jit_grad(self._static, self._x(x), self._th(theta))
 
     def jac_coord(self, x, *, theta=None):
+        self.counters["jac"] += 1
         return self._jit_jac(self._static, self._x(x), self._th(theta))
 
     def hess_coord(self, x, y=None, *, obj_weight=1.0, theta=None):
+        self.counters["hess"] += 1
         yv = jnp.zeros(self.ncon, dtype=self.dtype) if y is None else self._x(y)
         return self._jit_hess(
             self._static, self._x(x), yv, jnp.asarray(obj_weight, dtype=self.dtype), self._th(theta)
@@ -774,18 +790,22 @@ class ExaModel:
     def hess_jac_coord(self, x, y=None, *, obj_weight=1.0, theta=None):
         """(hess_vals, jac_vals) from one fused dispatch (see
         _hess_jac_impl)."""
+        self.counters["hess_jac"] += 1
         yv = jnp.zeros(self.ncon, dtype=self.dtype) if y is None else self._x(y)
         return self._jit_hess_jac(
             self._static, self._x(x), yv, jnp.asarray(obj_weight, dtype=self.dtype), self._th(theta)
         )
 
     def jprod(self, x, v, *, theta=None):
+        self.counters["jprod"] += 1
         return self._jit_jprod(self._static, self._x(x), self._x(v), self._th(theta))
 
     def jtprod(self, x, v, *, theta=None):
+        self.counters["jtprod"] += 1
         return self._jit_jtprod(self._static, self._x(x), self._x(v), self._th(theta))
 
     def hprod(self, x, y, v, *, obj_weight=1.0, theta=None):
+        self.counters["hprod"] += 1
         yv = jnp.zeros(self.ncon, dtype=self.dtype) if y is None else self._x(y)
         return self._jit_hprod(
             self._static,

@@ -32,3 +32,30 @@ class TestNodeStr:
         assert "row" in d
         assert "Objective" in repr(c.objs[0])
         assert "Constraint" in repr(con)
+
+
+def test_tree_str_and_full_display():
+    """Box-drawing tree rendering + abbreviated-display toggle
+    (parity: _print_tree / fulltype_display!,
+    /root/reference/src/prettyprint.jl)."""
+    import examodels_tpu as et
+    from examodels_tpu.core.prettyprint import abbrev
+
+    c = et.ExaCore()
+    x = c.add_var(5, name="x")
+    con = c.add_con(lambda i: et.sin(x[i]) * x[i + 1] ** 2, range(3), name="g")
+    t = et.show_tree(con)
+    lines = t.splitlines()
+    assert lines[0] == "*"
+    assert any("sin" in ln for ln in lines)
+    assert any("├──" in ln for ln in lines) and any("└──" in ln for ln in lines)
+    # raw nodes render too
+    assert "+" in et.tree_str(x[1] + 2.0)
+
+    long = "z" * 500
+    assert abbrev(long).endswith("…") and len(abbrev(long)) < 200
+    et.full_display(True)
+    try:
+        assert abbrev(long) == long
+    finally:
+        et.full_display(False)

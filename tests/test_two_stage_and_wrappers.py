@@ -218,3 +218,24 @@ class TestWrappers:
         assert isinstance(m.x0, np.ndarray)
         r = madipm(m if False else m.inner, tol=1e-8)  # solve inner
         assert r.success
+
+
+def test_always_on_counters():
+    """Every model carries call counters (parity: NLPModels.Counters,
+    /root/reference/src/nlp.jl:447,520) without the TimedModel wrapper."""
+    import examodels_tpu as et
+
+    c = et.ExaCore()
+    x = c.add_var(3, start=0.5)
+    c.add_obj(lambda i: (x[i] - 1.0) ** 2, range(3))
+    c.add_con(lambda i: x[i] + x[i + 1], range(2))
+    m = et.ExaModel(c)
+    xv = np.asarray(m.x0)
+    m.obj(xv); m.obj(xv); m.grad(xv); m.cons(xv)
+    m.jac_coord(xv); m.hess_coord(xv, np.zeros(2))
+    m.jprod(xv, xv); m.jtprod(xv, np.zeros(2)); m.hprod(xv, np.zeros(2), xv)
+    m.hess_jac_coord(xv, np.zeros(2))
+    assert m.counters == {
+        "obj": 2, "cons": 1, "grad": 1, "jac": 1, "hess": 1,
+        "hess_jac": 1, "jprod": 1, "jtprod": 1, "hprod": 1,
+    }
