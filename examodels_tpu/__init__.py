@@ -120,7 +120,7 @@ from . import native  # noqa: E402
 from .solver.ipm import madipm, IPMOptions, IPMResult  # noqa: E402
 from .solver.ipm_device import madipm_device, madipm_hybrid  # noqa: E402
 from .utils.wrappers import CompressedModel, TimedModel, WrapperModel  # noqa: E402
-from .bridge import FlatCore, flat_model  # noqa: E402
+from .bridge import FlatCore, flat_model, nl_model, read_nl  # noqa: E402
 from .core.prettyprint import full_display, show_tree, tree_str  # noqa: E402
 from . import bridge  # noqa: E402
 from .nlp import legacy  # noqa: E402
@@ -209,6 +209,8 @@ __all__ = [
     "has_matfree_hess",
     "FlatCore",
     "flat_model",
+    "nl_model",
+    "read_nl",
     "bridge",
     "legacy",
     "native",

@@ -2,6 +2,7 @@
 ext/ExaModelsMOI.jl, ext/ExaModelsJuMP.jl, ext/ExaModelsOptimalControl.jl)."""
 
 from .flat import FlatCore, flat_model
+from .nl import nl_flatcore, nl_model, read_nl
 from .linalg import (
     NodeArray,
     concat,
@@ -19,6 +20,9 @@ from .linalg import (
 __all__ = [
     "FlatCore",
     "flat_model",
+    "nl_flatcore",
+    "nl_model",
+    "read_nl",
     "NodeArray",
     "concat",
     "cross",

@@ -1,0 +1,141 @@
+"""AMPL .nl ingestion tests.
+
+The reference's external flat-model frontend is MOI/JuMP
+(/root/reference/ext/ExaModelsMOI.jl); our external frontend is the AMPL
+.nl interchange format (written by AMPL, Pyomo, JuMP, CasADi, GAMS). The
+fixtures under tests/data/ are hand-written in the documented text format
+(D. Gay, "Writing .nl Files", 2005) and cover: nonlinear C/O segments,
+sumlist, OP2POW, linear J/G parts, r/b bound encodings 0-4, x/d initial
+points, defined variables (V), and maximize sense.
+
+Validation is differential: the ingested model's oracle values are checked
+against plain jax AD on an independently-coded evaluation of the same
+mathematical problem, and the hs071 solve is checked against its published
+optimum (x* = (1, 4.743, 3.8211, 1.3794), f* = 17.0140173).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from examodels_tpu.bridge.nl import nl_flatcore, nl_model, read_nl
+from examodels_tpu import madipm
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def hs071_obj(x):
+    return x[0] * x[3] * (x[0] + x[1] + x[2]) + x[2]
+
+
+def hs071_cons(x):
+    return jnp.stack([x[0] * x[1] * x[2] * x[3], jnp.sum(x**2)])
+
+
+class TestHS071:
+    def setup_method(self):
+        self.m = nl_model(os.path.join(DATA, "hs071.nl"))
+
+    def test_meta(self):
+        m = self.m
+        assert (m.nvar, m.ncon) == (4, 2)
+        np.testing.assert_allclose(np.asarray(m.x0), [1.0, 5.0, 5.0, 1.0])
+        np.testing.assert_allclose(np.asarray(m.lvar), 1.0)
+        np.testing.assert_allclose(np.asarray(m.uvar), 5.0)
+        np.testing.assert_allclose(np.asarray(m.lcon), [25.0, 40.0])
+        np.testing.assert_allclose(np.asarray(m.ucon), [np.inf, 40.0])
+        assert m.minimize
+
+    def test_oracles_vs_jax_ad(self):
+        m = self.m
+        x = jnp.asarray([1.1, 4.3, 3.9, 1.4], m.dtype)
+        y = jnp.asarray([0.7, -0.3], m.dtype)
+        np.testing.assert_allclose(float(m.obj(x)), float(hs071_obj(x)), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(m.cons(x)), np.asarray(hs071_cons(x)), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(m.grad(x)), np.asarray(jax.grad(hs071_obj)(x)), rtol=1e-12
+        )
+        # assemble COO jac/hess and compare dense
+        jr, jc = m.jac_structure()
+        J = np.zeros((2, 4))
+        np.add.at(J, (np.asarray(jr), np.asarray(jc)), np.asarray(m.jac_coord(x)))
+        np.testing.assert_allclose(
+            J, np.asarray(jax.jacobian(hs071_cons)(x)), rtol=1e-12, atol=1e-14
+        )
+        hr, hc = m.hess_structure()
+        H = np.zeros((4, 4))
+        np.add.at(
+            H, (np.asarray(hr), np.asarray(hc)), np.asarray(m.hess_coord(x, y))
+        )
+        H = H + H.T - np.diag(np.diag(H))
+        lag = lambda x: hs071_obj(x) + y @ hs071_cons(x)  # noqa: E731
+        np.testing.assert_allclose(
+            H, np.asarray(jax.hessian(lag)(x)), rtol=1e-10, atol=1e-12
+        )
+
+    def test_bins_collapse(self):
+        # 4 squared terms of C1 -> ONE pattern (x_i^2) over 4 data rows
+        f = nl_flatcore(os.path.join(DATA, "hs071.nl"))
+        core = f.to_core()
+        pats = [ca.pattern for ca in core.conaugs]
+        sizes = sorted(p.n for p in pats)
+        assert 4 in sizes  # the binned quadratic pattern
+
+    def test_solve_to_published_optimum(self):
+        r = madipm(self.m, tol=1e-8)
+        assert r.status == "first_order"
+        np.testing.assert_allclose(r.objective, 17.0140173, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(r.x),
+            [1.0, 4.74299963, 3.82114998, 1.37940829],
+            rtol=1e-5,
+        )
+
+
+class TestDefVarMaximize:
+    def setup_method(self):
+        self.m = nl_model(os.path.join(DATA, "defvar_max.nl"))
+
+    def test_defined_var_and_sense(self):
+        m = self.m
+        assert not m.minimize
+        x = jnp.asarray([0.5, 1.5], m.dtype)
+        # objective (maximize sense, reported unsigned): -(x0-1)^2-(x1-2)^2
+        np.testing.assert_allclose(
+            float(m.obj(x)), -((0.5 - 1) ** 2) - (1.5 - 2) ** 2, rtol=1e-12
+        )
+        # constraint body is the defined variable v2 = x0 + x1
+        np.testing.assert_allclose(np.asarray(m.cons(x)), [2.0], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(m.ucon), [4.0])
+        assert np.isneginf(np.asarray(m.lcon))[0]
+        assert np.isneginf(np.asarray(m.lvar)).all()
+
+    def test_solve_maximize(self):
+        r = madipm(self.m, tol=1e-8)
+        assert r.status == "first_order"
+        np.testing.assert_allclose(np.asarray(r.x), [1.0, 2.0], atol=1e-6)
+        np.testing.assert_allclose(r.objective, 0.0, atol=1e-8)
+
+
+class TestErrors:
+    def test_binary_rejected(self):
+        with pytest.raises(ValueError, match="binary"):
+            read_nl("b3 1 1 0\n 1 0 1 0 0\n")
+
+    def test_unsupported_opcode(self):
+        txt = open(os.path.join(DATA, "hs071.nl")).read()
+        bad = txt.replace("o54\n4\n", "o35\n")  # OPIFnl
+        with pytest.raises(ValueError, match="o35"):
+            nl_model(bad)
+
+    def test_discrete_rejected(self):
+        txt = open(os.path.join(DATA, "hs071.nl")).read()
+        lines = txt.splitlines()
+        lines[6] = " 1 0 0 0 0"
+        with pytest.raises(ValueError, match="discrete"):
+            read_nl("\n".join(lines) + "\n")
