@@ -44,6 +44,23 @@ class TestParser:
         r = madipm(ac_opf_model(d), tol=1e-8)
         assert r.status == "first_order"
         assert abs(float(r.objective) - 5296.69) < 0.01
+    def test_case14_ieee_end_to_end(self):
+        """IEEE 14-bus (published CDF data, transcribed in
+        tests/data/case14.m): a second real case with features case9 lacks
+        — off-nominal transformer taps (0.978/0.969/0.932), a bus shunt
+        (19 MVAr at bus 9), unlimited branch ratings, and negative Qd.
+        The MATPOWER runopf('case14') objective is 8081.53 $/h."""
+        d = parse_matpower(os.path.join(os.path.dirname(__file__), "data", "case14.m"))
+        assert d.nbus == 14 and d.ngen == 5 and d.nbranch == 20
+        np.testing.assert_allclose(d.bus["pd"].sum(), 2.59)  # 259 MW
+        # tap/shunt corner cases reach the model
+        assert (d.branch["rate_a"] > 100.0).all()  # all ratings unlimited
+        np.testing.assert_allclose(d.bus["bs"][8], 0.19)
+
+        r = madipm(ac_opf_model(d), tol=1e-8)
+        assert r.status == "first_order"
+        assert abs(float(r.objective) - 8081.53) < 0.81  # <0.01%
+
     def test_case3(self):
         d = parse_matpower(CASE3)
         assert d.nbus == 3
