@@ -36,12 +36,23 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
+if os.environ.get("BENCH_FORCE_CPU"):  # plumbing tests off-TPU (the axon
+    import jax as _jax  # sitecustomize force-registers the TPU plugin, so
+
+    _jax.config.update("jax_platforms", "cpu")  # the env var alone is not enough
+
 NBUS = int(os.environ.get("BENCH_NBUS", "10000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
 K1 = int(os.environ.get("BENCH_K1", "4"))
 K2 = int(os.environ.get("BENCH_K2", "36"))
 SOLVER = os.environ.get("BENCH_SOLVER", "1") != "0"
 SOLVER_TOL = float(os.environ.get("BENCH_SOLVER_TOL", "1e-6"))
+# hard wall budget for the solver phase: it runs in a subprocess that gets
+# killed at the deadline, so a cold-cache compile marathon (~19 min for the
+# 10k-bus device loop through the remote-compile tunnel, measured) can never
+# starve the headline derivative metric. With a warm persistent XLA cache
+# the phase finishes well inside the default.
+SOLVER_BUDGET_S = float(os.environ.get("BENCH_SOLVER_BUDGET_S", "1500"))
 BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
 SOLVER_BASELINE_FILE = os.path.join(ROOT, "bench_solver_baseline.json")
 
@@ -80,7 +91,7 @@ def bench_solver(model):
             base = json.load(f)
         if base.get("nbus") == NBUS and base.get("iters_per_sec"):
             vs = iters_per_sec / base["iters_per_sec"]
-    else:
+    elif r.success and r2.iterations > 0:  # only a healthy solve may anchor
         with open(SOLVER_BASELINE_FILE, "w") as f:
             json.dump(
                 {
@@ -192,13 +203,21 @@ def main():
     # LAST so the driver's single-line parse keeps tracking vs_baseline on
     # the same metric across rounds (both lines land in the recorded tail)
     if SOLVER:
+        import subprocess
+
         try:
-            bench_solver(model)
-        except Exception as e:  # never let the solver phase kill the headline
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--solver-only"],
+                timeout=SOLVER_BUDGET_S,
+                check=False,
+            )
+        except subprocess.TimeoutExpired:
             print(
                 json.dumps(
                     {
-                        "metric": f"IPM solver bench FAILED: {type(e).__name__}: {e}",
+                        "metric": "IPM solver bench SKIPPED: exceeded "
+                        f"BENCH_SOLVER_BUDGET_S={SOLVER_BUDGET_S:.0f}s "
+                        "(cold XLA cache; rerun with warm cache)",
                         "value": 0.0,
                         "unit": "iters/sec",
                         "vs_baseline": 0.0,
@@ -223,5 +242,29 @@ def main():
     )
 
 
+def solver_only():
+    """Child-process entry: build the model and run just the solver phase
+    (its JSON line goes to the shared stdout)."""
+    from examodels_tpu.models import ac_opf_model
+
+    try:
+        bench_solver(ac_opf_model(NBUS))
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": f"IPM solver bench FAILED: {type(e).__name__}: {e}",
+                    "value": 0.0,
+                    "unit": "iters/sec",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--solver-only" in sys.argv:
+        solver_only()
+    else:
+        main()

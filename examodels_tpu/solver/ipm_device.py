@@ -63,16 +63,48 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         )
     dtype = model.dtype if hasattr(model, "dtype") else jnp.float64
 
-    # the compiled loop (and its _Funcs/KKT backends) is cached on the model
-    # keyed by the option set — repeat solves (warm starts, parameter
-    # sweeps) must not retrace (the zero-retrace discipline of SURVEY.md §7)
-    opts_key = tuple(
-        getattr(opts, f.name) for f in opts.__dataclass_fields__.values()
+    # Every numeric option is fed to the compiled loop as a TRACED scalar
+    # (see _build_loop), so ONE compiled program per (model structure, KKT
+    # backend, dtype) serves every tol/μ/iteration-budget configuration —
+    # in-process via this cache and across processes via the persistent XLA
+    # cache, whose hash no longer depends on option values. At 10k-bus the
+    # loop program is ~10-30 min of cold (remote-tunnel) compile: paying it
+    # once total instead of once per option set is the difference between
+    # a usable and an unusable solver bench.
+    structure_early = None
+    solver_kind = opts.linear_solver
+    if solver_kind is None:
+        structure_early = build_structure(model)
+        n_guess = structure_early.nx + structure_early.ns + structure_early.m
+        solver_kind = "dense" if n_guess <= opts.dense_limit else "blocktri"
+    fdt = opts.factor_dtype
+    if isinstance(fdt, str):
+        fdt = jnp.dtype(fdt).type
+    # resolved dual-regularization floor (local: never mutate user opts)
+    delta_c_min = opts.delta_c_min
+    if fdt is not None and delta_c_min == 0.0:
+        delta_c_min = 1e-5
+    if delta_c_min == 0.0 and jax.default_backend() == "tpu":
+        # see ipm.py: TPU-emulated f64 matmul error x cond(K) must stay
+        # inside the iterative-refinement contraction region
+        delta_c_min = 1e-6
+
+    struct_key = (
+        solver_kind,
+        None if fdt is None else jnp.dtype(fdt).name,
+        opts.scaling,
+        opts.scaling_max_gradient,
+        opts.bound_relax_factor,  # baked into F.l/F.u closed over by evals
+        id(opts.mesh) if opts.mesh is not None else None,
     )
     cache = model.__dict__.setdefault("_ipm_device_cache", {})
-    cached = cache.get(opts_key)
+    cached = cache.get(struct_key)
 
-    structure = build_structure(model) if cached is None else cached["structure"]
+    structure = (
+        cached["structure"]
+        if cached is not None
+        else (structure_early or build_structure(model))
+    )
     nx, ns, m = structure.nx, structure.ns, structure.m
     n = nx + ns
 
@@ -80,18 +112,6 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         kkt = cached["kkt"]
         F = cached["F"]
     else:
-        solver_kind = opts.linear_solver
-        if solver_kind is None:
-            solver_kind = "dense" if n + m <= opts.dense_limit else "blocktri"
-        fdt = opts.factor_dtype
-        if isinstance(fdt, str):
-            fdt = jnp.dtype(fdt).type
-        if fdt is not None and opts.delta_c_min == 0.0:
-            opts.delta_c_min = 1e-5
-        if opts.delta_c_min == 0.0 and jax.default_backend() == "tpu":
-            # see ipm.py: TPU-emulated f64 matmul error x cond(K) must stay
-            # inside the iterative-refinement contraction region
-            opts.delta_c_min = 1e-6
         if solver_kind == "blocktri":
             from .blocktri import BlockTriKKT
 
@@ -158,13 +178,14 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     if cached is not None:
         solve_loop = cached["loop"]
     else:
-        solve_loop = _build_loop(
-            F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor
-        )
-        cache[opts_key] = dict(
+        solve_loop = _build_loop(F, kkt, dtype, n, m, n_bound)
+        cache[struct_key] = dict(
             structure=structure, kkt=kkt, F=F, loop=solve_loop
         )
-    out = solve_loop(v, y, zl, zu, theta_p)
+    P = _pack_options(opts, dtype, delta_c_min=delta_c_min,
+                      theta_max=theta_max, theta_min=theta_min,
+                      mu_floor=mu_floor)
+    out = solve_loop(v, y, zl, zu, theta_p, P)
     out = jax.device_get(out)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
     status = _STATUS_NAMES.get(int(out["status"]), "unknown")
@@ -187,258 +208,291 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     )
 
 
-def _build_loop(F, kkt, opts, dtype, n, m, n_bound, theta_max, theta_min, mu_floor):
-    """Compile the full IPM as one jitted while_loop program."""
+_P_FLOAT = (
+    "tol", "acceptable_tol", "s_max", "kappa_eps", "kappa_mu", "theta_mu",
+    "tau_min", "mu_init", "delta_c_bar", "kappa_c", "delta_w0",
+    "delta_w_min", "kappa_w_minus", "kappa_w_plus", "curvature_kappa",
+    "alpha_min_frac", "gamma_theta", "gamma_phi", "delta", "s_theta",
+    "s_phi", "eta_phi", "kappa_sigma",
+)
+_P_INT = ("acceptable_iter", "max_iter", "max_ls")
 
-    big = jnp.asarray(1e30, dtype)
 
-    def kkt_error_parts(ev, y, zl, zu):
-        sd = jnp.maximum(
-            opts.s_max,
-            (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu)))
-            / max(1, m + n_bound),
-        ) / opts.s_max
-        sc = jnp.maximum(
-            opts.s_max,
-            (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))) / max(1, n_bound),
-        ) / opts.s_max
-        dual_inf = jnp.max(jnp.abs(ev["r_d"]), initial=0.0)
-        prim_inf = jnp.max(jnp.abs(ev["r"]), initial=0.0)
-        comp = jnp.maximum(
-            jnp.max(jnp.abs(ev["comp_l"]), initial=0.0),
-            jnp.max(jnp.abs(ev["comp_u"]), initial=0.0),
-        )
-        return sd, sc, dual_inf, prim_inf, comp
+def _pack_options(opts: IPMOptions, dtype, *, delta_c_min, theta_max,
+                  theta_min, mu_floor) -> dict:
+    """Numeric IPM options as device scalars — the traced `P` argument of
+    the compiled loop. Includes the resolved dual-regularization floor and
+    the initial-point-dependent theta_max/theta_min/mu_floor (previously
+    baked constants, which went stale when a cached loop was reused from a
+    different starting point)."""
+    P = {k: jnp.asarray(getattr(opts, k), dtype) for k in _P_FLOAT}
+    P.update({k: jnp.asarray(getattr(opts, k), jnp.int32) for k in _P_INT})
+    P["delta_c_min"] = jnp.asarray(delta_c_min, dtype)
+    P["theta_max"] = jnp.asarray(theta_max, dtype)
+    P["theta_min"] = jnp.asarray(theta_min, dtype)
+    P["mu_floor"] = jnp.asarray(mu_floor, dtype)
+    return P
 
-    def body(st):
-        v, y, zl, zu = st["v"], st["y"], st["zl"], st["zu"]
-        mu, tau = st["mu"], st["tau"]
 
-        ev = F.evals(v, y, zl, zu, mu, st["theta_p"])
-        sd, sc, dual_inf, prim_inf, comp0 = kkt_error_parts(ev, y, zl, zu)
-        # μ-independent error: comp with μ = 0 is |dl·zl|, |du·zu|
-        a_l = jnp.where(F.has_l, ev["dl"] * zl, 0.0)
-        a_u = jnp.where(F.has_u, ev["du"] * zu, 0.0)
-        comp00 = jnp.maximum(
-            jnp.max(jnp.abs(a_l), initial=0.0), jnp.max(jnp.abs(a_u), initial=0.0)
-        )
-        E0 = jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, comp00 / sc))
+def _build_loop(F, kkt, dtype, n, m, n_bound):
+    """Compile the full IPM as one jitted while_loop program.
 
-        finite = jnp.isfinite(ev["f"]) & jnp.isfinite(ev["theta"])
-        status = jnp.where(~finite, _DIVERGED, st["status"])
-        status = jnp.where(finite & (E0 <= opts.tol), _FIRST_ORDER, status)
-        n_acc = jnp.where(
-            E0 <= opts.acceptable_tol, st["n_acc"] + 1, jnp.zeros_like(st["n_acc"])
-        )
-        status = jnp.where(
-            (status == _RUNNING) & (n_acc >= opts.acceptable_iter),
-            _ACCEPTABLE,
-            status,
-        )
-
-        # ---- Fiacco-McCormick cascade (closed-form comp(μ)) --------------
-        def mu_err(mu_):
-            cl = jnp.max(jnp.abs(a_l - jnp.where(F.has_l, mu_, 0.0)), initial=0.0)
-            cu = jnp.max(jnp.abs(a_u - jnp.where(F.has_u, mu_, 0.0)), initial=0.0)
-            return jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, jnp.maximum(cl, cu) / sc))
-
-        def mu_step(_, mu_):
-            upd = (mu_ > mu_floor) & (mu_err(mu_) <= opts.kappa_eps * mu_)
-            new = jnp.maximum(mu_floor, jnp.minimum(opts.kappa_mu * mu_, mu_ ** opts.theta_mu))
-            return jnp.where(upd, new, mu_)
-
-        mu_new = jax.lax.fori_loop(0, 8, mu_step, mu)
-        mu_changed = mu_new != mu
-        # filter reset on μ change
-        filt_th = jnp.where(mu_changed, jnp.full(_NFILT, big), st["filt_th"])
-        filt_ph = jnp.where(mu_changed, jnp.full(_NFILT, -big), st["filt_ph"])
-        nfilt = jnp.where(mu_changed, 0, st["nfilt"])
-        # update the μ-dependent quantities in closed form (avoids a second
-        # full oracle evaluation in the traced program): with
-        # binv = 1/dl − 1/du (masked) and logsum = (f − φ)/μ,
-        #   r1(μ') = r1(μ) + (μ' − μ)·binv,  φ(μ') = f − μ'·logsum
-        binv = jnp.where(F.has_l, 1.0 / ev["dl"], 0.0) - jnp.where(
-            F.has_u, 1.0 / ev["du"], 0.0
-        )
-        logsum = jnp.where(mu > 0, (ev["f"] - ev["phi"]) / jnp.maximum(mu, 1e-300), 0.0)
-        ev["r1"] = ev["r1"] + (mu_new - mu) * binv
-        ev["phi"] = ev["f"] - mu_new * logsum
-        mu = mu_new
-        tau = jnp.maximum(opts.tau_min, 1.0 - mu)
-
-        # ---- KKT with inertia-free δw loop --------------------------------
-        dc = jnp.maximum(opts.delta_c_bar * jnp.maximum(mu ** opts.kappa_c, 1e-10), opts.delta_c_min)
-        trial_w = jnp.where(
-            st["dw_last"] == 0.0,
-            opts.delta_w0,
-            jnp.maximum(opts.delta_w_min, opts.kappa_w_minus * st["dw_last"]),
-        )
-
-        def kkt_cond(c):
-            dw, dv, dy, ok, trips = c
-            return (~ok) & (trips < 40)
-
-        def kkt_body(c):
-            dw, dv, dy, ok, trips = c
-            dv2, dy2, pd_ok = kkt.solve(
-                ev["hvals"], ev["jvals"], ev["sigma"],
-                jnp.full(n, dw, dtype=dtype), dc, ev["r1"], -ev["r"],
-            )
-            good = pd_ok & jnp.isfinite(dv2).all()
-            if not getattr(kkt, "certifies_inertia", False):
-                # no SPD certificate (CG / low-precision factor): keep the
-                # inertia-free curvature test (see ipm.py for why certified
-                # backends must skip it)
-                curv = F.curvature(ev["hvals"], ev["sigma"], dw, dv2)
-                good = good & (
-                    curv >= opts.curvature_kappa * jnp.vdot(dv2, dv2)
-                )
-            dw_next = jnp.where(
-                good, dw, jnp.where(dw == 0.0, trial_w, dw * opts.kappa_w_plus)
-            )
-            return (dw_next, jnp.where(good, dv2, dv), jnp.where(good, dy2, dy),
-                    good, trips + 1)
-
-        dw0 = jnp.asarray(0.0, dtype)
-        dv0 = jnp.zeros(n, dtype=dtype)
-        dy0 = jnp.zeros(m, dtype=dtype)
-        dw, dv, dy, kkt_ok, _ = jax.lax.while_loop(
-            kkt_cond, kkt_body, (dw0, dv0, dy0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
-        )
-        status = jnp.where((status == _RUNNING) & ~kkt_ok, _STALLED, status)
-        dw_last = jnp.where(dw > 0, dw, st["dw_last"])
-
-        dl, du = ev["dl"], ev["du"]
-        dzl = jnp.where(F.has_l, mu / dl - zl - zl * dv / dl, 0.0)
-        dzu = jnp.where(F.has_u, mu / du - zu + zu * dv / du, 0.0)
-
-        def alpha_fraction():
-            a_l_ = jnp.where(F.has_l & (dv < 0), -tau * dl / jnp.where(dv < 0, dv, -1.0), 1.0)
-            a_u_ = jnp.where(F.has_u & (dv > 0), tau * du / jnp.where(dv > 0, dv, 1.0), 1.0)
-            ap = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l_, initial=1.0), jnp.min(a_u_, initial=1.0)))
-            a_zl = jnp.where(F.has_l & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), 1.0)
-            a_zu = jnp.where(F.has_u & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), 1.0)
-            ad = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=1.0), jnp.min(a_zu, initial=1.0)))
-            return ap, ad
-
-        alpha_max, alpha_z = alpha_fraction()
-
-        theta_cur = ev["theta"]
-        phi_cur = ev["phi"]
-        gphi_dv = (
-            jnp.vdot(ev["g"], dv)
-            - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
-            + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0))
-        )
-
-        alpha_min = jnp.where(
-            gphi_dv < 0,
-            opts.alpha_min_frac
-            * jnp.minimum(
-                opts.gamma_theta,
-                jnp.minimum(
-                    opts.gamma_phi * theta_cur / jnp.maximum(-gphi_dv, 1e-300),
-                    jnp.where(
-                        theta_cur <= theta_min,
-                        opts.delta * theta_cur ** opts.s_theta
-                        / jnp.maximum((-gphi_dv) ** opts.s_phi, 1e-300),
-                        big,
-                    ),
-                ),
-            ),
-            opts.alpha_min_frac * opts.gamma_theta,
-        )
-        alpha_min = jnp.maximum(alpha_min, 1e-16)
-
-        # ---- backtracking filter line search ------------------------------
-        def ls_cond(c):
-            alpha, accepted, ftype, trials = c
-            return (~accepted) & (trials < opts.max_ls) & (alpha >= alpha_min)
-
-        def ls_body(c):
-            alpha, accepted, ftype, trials = c
-            v_t = v + alpha * dv
-            phi_t, theta_t = F.trial_eval(v_t, mu, st["theta_p"])
-            filter_ok = jnp.all(
-                (theta_t <= (1 - opts.gamma_theta) * filt_th)
-                | (phi_t <= filt_ph - opts.gamma_phi * filt_th)
-            ) & (theta_t < theta_max) & jnp.isfinite(phi_t) & jnp.isfinite(theta_t)
-            switching = (
-                (gphi_dv < 0)
-                & (alpha * (-gphi_dv) ** opts.s_phi > opts.delta * theta_cur ** opts.s_theta)
-                & (theta_cur <= theta_min)
-            )
-            armijo = phi_t <= phi_cur + opts.eta_phi * alpha * gphi_dv
-            suff = (theta_t <= (1 - opts.gamma_theta) * theta_cur) | (
-                phi_t <= phi_cur - opts.gamma_phi * theta_cur
-            )
-            ok = filter_ok & jnp.where(switching, armijo, suff)
-            ftype_new = jnp.where(ok, switching, ftype)
-            return (
-                jnp.where(ok, alpha, alpha * 0.5),
-                accepted | ok,
-                ftype_new,
-                trials + 1,
-            )
-
-        alpha, accepted, f_type, _ = jax.lax.while_loop(
-            ls_cond, ls_body, (alpha_max, jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32))
-        )
-        status = jnp.where((status == _RUNNING) & ~accepted, _STALLED, status)
-
-        # filter augmentation (circular) for h-type steps
-        slot = jnp.mod(nfilt, _NFILT)
-        aug = accepted & ~f_type
-        filt_th = jnp.where(
-            aug, filt_th.at[slot].set((1 - opts.gamma_theta) * theta_cur), filt_th
-        )
-        filt_ph = jnp.where(
-            aug, filt_ph.at[slot].set(phi_cur - opts.gamma_phi * theta_cur), filt_ph
-        )
-        nfilt = jnp.where(aug, nfilt + 1, nfilt)
-
-        step_ok = accepted & (status == _RUNNING)
-        scale = jnp.where(step_ok, 1.0, 0.0)
-        v2 = v + scale * alpha * dv
-        y2 = y + scale * alpha * dy
-        zl2 = zl + scale * alpha_z * dzl
-        zu2 = zu + scale * alpha_z * dzu
-        dl2 = jnp.where(F.has_l, v2 - F.l, 1.0)
-        du2 = jnp.where(F.has_u, F.u - v2, 1.0)
-        zl2 = jnp.where(
-            F.has_l,
-            jnp.clip(zl2, mu / (opts.kappa_sigma * dl2), opts.kappa_sigma * mu / dl2),
-            0.0,
-        )
-        zu2 = jnp.where(
-            F.has_u,
-            jnp.clip(zu2, mu / (opts.kappa_sigma * du2), opts.kappa_sigma * mu / du2),
-            0.0,
-        )
-
-        it = st["it"] + 1
-        status = jnp.where(
-            (status == _RUNNING) & (it >= opts.max_iter), _MAXITER, status
-        )
-
-        return dict(
-            v=v2, y=y2, zl=zl2, zu=zu2,
-            mu=mu, tau=tau, dw_last=dw_last,
-            filt_th=filt_th, filt_ph=filt_ph, nfilt=nfilt,
-            it=it, status=status, n_acc=n_acc,
-            prim_inf=prim_inf, dual_inf=dual_inf, comp=comp00,
-            theta_p=st["theta_p"],
-        )
-
-    def cond(st):
-        return st["status"] == _RUNNING
+    Every numeric option arrives as a traced scalar in `P` (see
+    _pack_options), NOT as a baked Python constant: the compiled
+    program depends only on the model structure + KKT backend, so
+    tol/mu/iteration-budget changes never retrace or recompile (and
+    the persistent XLA-cache key is option-independent).
+    """
 
     @jax.jit
-    def run(v, y, zl, zu, theta_p):
+    def run(v, y, zl, zu, theta_p, P):
+        big = jnp.asarray(1e30, dtype)
+
+        def kkt_error_parts(ev, y, zl, zu):
+            sd = jnp.maximum(
+                P["s_max"],
+                (jnp.sum(jnp.abs(y)) + jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu)))
+                / max(1, m + n_bound),
+            ) / P["s_max"]
+            sc = jnp.maximum(
+                P["s_max"],
+                (jnp.sum(jnp.abs(zl)) + jnp.sum(jnp.abs(zu))) / max(1, n_bound),
+            ) / P["s_max"]
+            dual_inf = jnp.max(jnp.abs(ev["r_d"]), initial=0.0)
+            prim_inf = jnp.max(jnp.abs(ev["r"]), initial=0.0)
+            comp = jnp.maximum(
+                jnp.max(jnp.abs(ev["comp_l"]), initial=0.0),
+                jnp.max(jnp.abs(ev["comp_u"]), initial=0.0),
+            )
+            return sd, sc, dual_inf, prim_inf, comp
+
+        def body(st):
+            v, y, zl, zu = st["v"], st["y"], st["zl"], st["zu"]
+            mu, tau = st["mu"], st["tau"]
+
+            ev = F.evals(v, y, zl, zu, mu, st["theta_p"])
+            sd, sc, dual_inf, prim_inf, comp0 = kkt_error_parts(ev, y, zl, zu)
+            # μ-independent error: comp with μ = 0 is |dl·zl|, |du·zu|
+            a_l = jnp.where(F.has_l, ev["dl"] * zl, 0.0)
+            a_u = jnp.where(F.has_u, ev["du"] * zu, 0.0)
+            comp00 = jnp.maximum(
+                jnp.max(jnp.abs(a_l), initial=0.0), jnp.max(jnp.abs(a_u), initial=0.0)
+            )
+            E0 = jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, comp00 / sc))
+
+            finite = jnp.isfinite(ev["f"]) & jnp.isfinite(ev["theta"])
+            status = jnp.where(~finite, _DIVERGED, st["status"])
+            status = jnp.where(finite & (E0 <= P["tol"]), _FIRST_ORDER, status)
+            n_acc = jnp.where(
+                E0 <= P["acceptable_tol"], st["n_acc"] + 1, jnp.zeros_like(st["n_acc"])
+            )
+            status = jnp.where(
+                (status == _RUNNING) & (n_acc >= P["acceptable_iter"]),
+                _ACCEPTABLE,
+                status,
+            )
+
+            # ---- Fiacco-McCormick cascade (closed-form comp(μ)) --------------
+            def mu_err(mu_):
+                cl = jnp.max(jnp.abs(a_l - jnp.where(F.has_l, mu_, 0.0)), initial=0.0)
+                cu = jnp.max(jnp.abs(a_u - jnp.where(F.has_u, mu_, 0.0)), initial=0.0)
+                return jnp.maximum(dual_inf / sd, jnp.maximum(prim_inf, jnp.maximum(cl, cu) / sc))
+
+            def mu_step(_, mu_):
+                upd = (mu_ > P["mu_floor"]) & (mu_err(mu_) <= P["kappa_eps"] * mu_)
+                new = jnp.maximum(P["mu_floor"], jnp.minimum(P["kappa_mu"] * mu_, mu_ ** P["theta_mu"]))
+                return jnp.where(upd, new, mu_)
+
+            mu_new = jax.lax.fori_loop(0, 8, mu_step, mu)
+            mu_changed = mu_new != mu
+            # filter reset on μ change
+            filt_th = jnp.where(mu_changed, jnp.full(_NFILT, big), st["filt_th"])
+            filt_ph = jnp.where(mu_changed, jnp.full(_NFILT, -big), st["filt_ph"])
+            nfilt = jnp.where(mu_changed, 0, st["nfilt"])
+            # update the μ-dependent quantities in closed form (avoids a second
+            # full oracle evaluation in the traced program): with
+            # binv = 1/dl − 1/du (masked) and logsum = (f − φ)/μ,
+            #   r1(μ') = r1(μ) + (μ' − μ)·binv,  φ(μ') = f − μ'·logsum
+            binv = jnp.where(F.has_l, 1.0 / ev["dl"], 0.0) - jnp.where(
+                F.has_u, 1.0 / ev["du"], 0.0
+            )
+            logsum = jnp.where(mu > 0, (ev["f"] - ev["phi"]) / jnp.maximum(mu, 1e-300), 0.0)
+            ev["r1"] = ev["r1"] + (mu_new - mu) * binv
+            ev["phi"] = ev["f"] - mu_new * logsum
+            mu = mu_new
+            tau = jnp.maximum(P["tau_min"], 1.0 - mu)
+
+            # ---- KKT with inertia-free δw loop --------------------------------
+            dc = jnp.maximum(P["delta_c_bar"] * jnp.maximum(mu ** P["kappa_c"], 1e-10), P["delta_c_min"])
+            trial_w = jnp.where(
+                st["dw_last"] == 0.0,
+                P["delta_w0"],
+                jnp.maximum(P["delta_w_min"], P["kappa_w_minus"] * st["dw_last"]),
+            )
+
+            def kkt_cond(c):
+                dw, dv, dy, ok, trips = c
+                return (~ok) & (trips < 40)
+
+            def kkt_body(c):
+                dw, dv, dy, ok, trips = c
+                dv2, dy2, pd_ok = kkt.solve(
+                    ev["hvals"], ev["jvals"], ev["sigma"],
+                    jnp.full(n, dw, dtype=dtype), dc, ev["r1"], -ev["r"],
+                )
+                good = pd_ok & jnp.isfinite(dv2).all()
+                if not getattr(kkt, "certifies_inertia", False):
+                    # no SPD certificate (CG / low-precision factor): keep the
+                    # inertia-free curvature test (see ipm.py for why certified
+                    # backends must skip it)
+                    curv = F.curvature(ev["hvals"], ev["sigma"], dw, dv2)
+                    good = good & (
+                        curv >= P["curvature_kappa"] * jnp.vdot(dv2, dv2)
+                    )
+                dw_next = jnp.where(
+                    good, dw, jnp.where(dw == 0.0, trial_w, dw * P["kappa_w_plus"])
+                )
+                return (dw_next, jnp.where(good, dv2, dv), jnp.where(good, dy2, dy),
+                        good, trips + 1)
+
+            dw0 = jnp.asarray(0.0, dtype)
+            dv0 = jnp.zeros(n, dtype=dtype)
+            dy0 = jnp.zeros(m, dtype=dtype)
+            dw, dv, dy, kkt_ok, _ = jax.lax.while_loop(
+                kkt_cond, kkt_body, (dw0, dv0, dy0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            )
+            status = jnp.where((status == _RUNNING) & ~kkt_ok, _STALLED, status)
+            dw_last = jnp.where(dw > 0, dw, st["dw_last"])
+
+            dl, du = ev["dl"], ev["du"]
+            dzl = jnp.where(F.has_l, mu / dl - zl - zl * dv / dl, 0.0)
+            dzu = jnp.where(F.has_u, mu / du - zu + zu * dv / du, 0.0)
+
+            def alpha_fraction():
+                a_l_ = jnp.where(F.has_l & (dv < 0), -tau * dl / jnp.where(dv < 0, dv, -1.0), 1.0)
+                a_u_ = jnp.where(F.has_u & (dv > 0), tau * du / jnp.where(dv > 0, dv, 1.0), 1.0)
+                ap = jnp.minimum(1.0, jnp.minimum(jnp.min(a_l_, initial=1.0), jnp.min(a_u_, initial=1.0)))
+                a_zl = jnp.where(F.has_l & (dzl < 0), -tau * zl / jnp.where(dzl < 0, dzl, -1.0), 1.0)
+                a_zu = jnp.where(F.has_u & (dzu < 0), -tau * zu / jnp.where(dzu < 0, dzu, -1.0), 1.0)
+                ad = jnp.minimum(1.0, jnp.minimum(jnp.min(a_zl, initial=1.0), jnp.min(a_zu, initial=1.0)))
+                return ap, ad
+
+            alpha_max, alpha_z = alpha_fraction()
+
+            theta_cur = ev["theta"]
+            phi_cur = ev["phi"]
+            gphi_dv = (
+                jnp.vdot(ev["g"], dv)
+                - mu * jnp.sum(jnp.where(F.has_l, dv / dl, 0.0))
+                + mu * jnp.sum(jnp.where(F.has_u, dv / du, 0.0))
+            )
+
+            alpha_min = jnp.where(
+                gphi_dv < 0,
+                P["alpha_min_frac"]
+                * jnp.minimum(
+                    P["gamma_theta"],
+                    jnp.minimum(
+                        P["gamma_phi"] * theta_cur / jnp.maximum(-gphi_dv, 1e-300),
+                        jnp.where(
+                            theta_cur <= P["theta_min"],
+                            P["delta"] * theta_cur ** P["s_theta"]
+                            / jnp.maximum((-gphi_dv) ** P["s_phi"], 1e-300),
+                            big,
+                        ),
+                    ),
+                ),
+                P["alpha_min_frac"] * P["gamma_theta"],
+            )
+            alpha_min = jnp.maximum(alpha_min, 1e-16)
+
+            # ---- backtracking filter line search ------------------------------
+            def ls_cond(c):
+                alpha, accepted, ftype, trials = c
+                return (~accepted) & (trials < P["max_ls"]) & (alpha >= alpha_min)
+
+            def ls_body(c):
+                alpha, accepted, ftype, trials = c
+                v_t = v + alpha * dv
+                phi_t, theta_t = F.trial_eval(v_t, mu, st["theta_p"])
+                filter_ok = jnp.all(
+                    (theta_t <= (1 - P["gamma_theta"]) * filt_th)
+                    | (phi_t <= filt_ph - P["gamma_phi"] * filt_th)
+                ) & (theta_t < P["theta_max"]) & jnp.isfinite(phi_t) & jnp.isfinite(theta_t)
+                switching = (
+                    (gphi_dv < 0)
+                    & (alpha * (-gphi_dv) ** P["s_phi"] > P["delta"] * theta_cur ** P["s_theta"])
+                    & (theta_cur <= P["theta_min"])
+                )
+                armijo = phi_t <= phi_cur + P["eta_phi"] * alpha * gphi_dv
+                suff = (theta_t <= (1 - P["gamma_theta"]) * theta_cur) | (
+                    phi_t <= phi_cur - P["gamma_phi"] * theta_cur
+                )
+                ok = filter_ok & jnp.where(switching, armijo, suff)
+                ftype_new = jnp.where(ok, switching, ftype)
+                return (
+                    jnp.where(ok, alpha, alpha * 0.5),
+                    accepted | ok,
+                    ftype_new,
+                    trials + 1,
+                )
+
+            alpha, accepted, f_type, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (alpha_max, jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            )
+            status = jnp.where((status == _RUNNING) & ~accepted, _STALLED, status)
+
+            # filter augmentation (circular) for h-type steps
+            slot = jnp.mod(nfilt, _NFILT)
+            aug = accepted & ~f_type
+            filt_th = jnp.where(
+                aug, filt_th.at[slot].set((1 - P["gamma_theta"]) * theta_cur), filt_th
+            )
+            filt_ph = jnp.where(
+                aug, filt_ph.at[slot].set(phi_cur - P["gamma_phi"] * theta_cur), filt_ph
+            )
+            nfilt = jnp.where(aug, nfilt + 1, nfilt)
+
+            step_ok = accepted & (status == _RUNNING)
+            scale = jnp.where(step_ok, 1.0, 0.0)
+            v2 = v + scale * alpha * dv
+            y2 = y + scale * alpha * dy
+            zl2 = zl + scale * alpha_z * dzl
+            zu2 = zu + scale * alpha_z * dzu
+            dl2 = jnp.where(F.has_l, v2 - F.l, 1.0)
+            du2 = jnp.where(F.has_u, F.u - v2, 1.0)
+            zl2 = jnp.where(
+                F.has_l,
+                jnp.clip(zl2, mu / (P["kappa_sigma"] * dl2), P["kappa_sigma"] * mu / dl2),
+                0.0,
+            )
+            zu2 = jnp.where(
+                F.has_u,
+                jnp.clip(zu2, mu / (P["kappa_sigma"] * du2), P["kappa_sigma"] * mu / du2),
+                0.0,
+            )
+
+            it = st["it"] + 1
+            status = jnp.where(
+                (status == _RUNNING) & (it >= P["max_iter"]), _MAXITER, status
+            )
+
+            return dict(
+                v=v2, y=y2, zl=zl2, zu=zu2,
+                mu=mu, tau=tau, dw_last=dw_last,
+                filt_th=filt_th, filt_ph=filt_ph, nfilt=nfilt,
+                it=it, status=status, n_acc=n_acc,
+                prim_inf=prim_inf, dual_inf=dual_inf, comp=comp00,
+                theta_p=st["theta_p"],
+            )
+
+        def cond(st):
+            return st["status"] == _RUNNING
+
         st = dict(
             v=v, y=y, zl=zl, zu=zu,
-            mu=jnp.asarray(opts.mu_init, dtype),
-            tau=jnp.asarray(max(opts.tau_min, 1.0 - opts.mu_init), dtype),
+            mu=jnp.asarray(P["mu_init"], dtype),
+            tau=jnp.maximum(P["tau_min"], 1.0 - P["mu_init"]).astype(dtype),
             dw_last=jnp.asarray(0.0, dtype),
             filt_th=jnp.full(_NFILT, big, dtype=dtype),
             filt_ph=jnp.full(_NFILT, -big, dtype=dtype),
