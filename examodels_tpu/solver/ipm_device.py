@@ -361,7 +361,6 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
             dw, dv, dy, kkt_ok, _ = jax.lax.while_loop(
                 kkt_cond, kkt_body, (dw0, dv0, dy0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
             )
-            status = jnp.where((status == _RUNNING) & ~kkt_ok, _STALLED, status)
             dw_last = jnp.where(dw > 0, dw, st["dw_last"])
 
             dl, du = ev["dl"], ev["du"]
@@ -440,7 +439,28 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
             alpha, accepted, f_type, _ = jax.lax.while_loop(
                 ls_cond, ls_body, (alpha_max, jnp.asarray(False), jnp.asarray(False), jnp.asarray(0, jnp.int32))
             )
-            status = jnp.where((status == _RUNNING) & ~accepted, _STALLED, status)
+
+            # ---- null-step recovery (restoration-lite) ---------------------
+            # The host IPM escapes a failed line search / exhausted δw loop
+            # with feasibility restoration + SOC (ipm.py); inside one XLA
+            # program the cheap equivalent is a NULL step: reset the filter
+            # (stale entries are the most common blocker), force a stronger
+            # starting regularization for the next KKT solve, and only
+            # declare "stalled" after 4 consecutive failures. Measured on
+            # the 10k-bus AC-OPF f32 loop: the unrecovered loop stalled at
+            # iteration 4; recovery lets it run to the acceptable-tol exit.
+            fail = (status == _RUNNING) & (~kkt_ok | ~accepted)
+            fails = jnp.where(fail, st["fails"] + 1, jnp.zeros_like(st["fails"]))
+            status = jnp.where(fail & (fails >= 4), _STALLED, status)
+            accepted = accepted & ~fail
+            filt_th = jnp.where(fail, jnp.full(_NFILT, big, dtype=dtype), filt_th)
+            filt_ph = jnp.where(fail, jnp.full(_NFILT, -big, dtype=dtype), filt_ph)
+            nfilt = jnp.where(fail, 0, nfilt)
+            dw_last = jnp.where(
+                fail,
+                jnp.maximum(dw_last * P["kappa_w_plus"], P["delta_w0"]),
+                dw_last,
+            )
 
             # filter augmentation (circular) for h-type steps
             slot = jnp.mod(nfilt, _NFILT)
@@ -479,7 +499,7 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
 
             return dict(
                 v=v2, y=y2, zl=zl2, zu=zu2,
-                mu=mu, tau=tau, dw_last=dw_last,
+                mu=mu, tau=tau, dw_last=dw_last, fails=fails,
                 filt_th=filt_th, filt_ph=filt_ph, nfilt=nfilt,
                 it=it, status=status, n_acc=n_acc,
                 prim_inf=prim_inf, dual_inf=dual_inf, comp=comp00,
@@ -494,6 +514,7 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
             mu=jnp.asarray(P["mu_init"], dtype),
             tau=jnp.maximum(P["tau_min"], 1.0 - P["mu_init"]).astype(dtype),
             dw_last=jnp.asarray(0.0, dtype),
+            fails=jnp.asarray(0, jnp.int32),
             filt_th=jnp.full(_NFILT, big, dtype=dtype),
             filt_ph=jnp.full(_NFILT, -big, dtype=dtype),
             nfilt=jnp.asarray(0, jnp.int32),
