@@ -40,6 +40,17 @@ if os.environ.get("BENCH_FORCE_CPU"):  # plumbing tests off-TPU (the axon
     import jax as _jax  # sitecustomize force-registers the TPU plugin, so
 
     _jax.config.update("jax_platforms", "cpu")  # the env var alone is not enough
+else:
+    # Point the persistent XLA cache at the COMMITTED in-repo directory:
+    # the 10k-bus device-IPM loop costs ~10-30 min of cold remote-tunnel
+    # compile, far over the driver's solver budget — but the compiled
+    # executable deserializes from this cache in seconds. The cache is
+    # warmed and committed by the build session; a fresh environment
+    # running `python bench.py` hits it as long as jaxlib/backend match.
+    # (examodels_tpu/__init__.py reads this env var before its first jit.)
+    os.environ.setdefault(
+        "EXAMODELS_TPU_CACHE_DIR", os.path.join(ROOT, ".xla_cache")
+    )
 
 NBUS = int(os.environ.get("BENCH_NBUS", "10000"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
@@ -53,17 +64,26 @@ SOLVER_TOL = float(os.environ.get("BENCH_SOLVER_TOL", "1e-6"))
 # starve the headline derivative metric. With a warm persistent XLA cache
 # the phase finishes well inside the default.
 SOLVER_BUDGET_S = float(os.environ.get("BENCH_SOLVER_BUDGET_S", "1500"))
+# fallback instance size if the headline size cannot solve inside budget
+# (e.g. cold XLA cache in a fresh environment): a smaller loop program whose
+# cold compile fits comfortably. 0 disables the fallback.
+SOLVER_FALLBACK_NBUS = int(os.environ.get("BENCH_SOLVER_FALLBACK_NBUS", "2000"))
+# seconds held back for the fallback attempt while the headline size runs
+SOLVER_FALLBACK_RESERVE_S = float(
+    os.environ.get("BENCH_SOLVER_FALLBACK_RESERVE_S", "420")
+)
 BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
 SOLVER_BASELINE_FILE = os.path.join(ROOT, "bench_solver_baseline.json")
 
 
-def bench_solver(model):
-    """Second north-star metric (BASELINE.json): end-to-end IPM on the same
-    10k-bus AC-OPF via madipm_hybrid (f32 on-device bulk + f64 host polish)
+def bench_solver(model, nbus):
+    """Second north-star metric (BASELINE.json): end-to-end IPM on the
+    nbus-bus AC-OPF via madipm_hybrid (f32 on-device bulk + f64 host polish)
     to E0 <= 1e-6. Prints its own JSON line; iters/sec is the on-device
     f32 loop's WARM rate (a second madipm_device call reuses the cached
     compiled loop — the zero-retrace discipline — so compile time is
-    excluded, matching how the derivative metric excludes compile)."""
+    excluded, matching how the derivative metric excludes compile).
+    Returns True iff the solve was healthy and a nonzero rate was recorded."""
     import time as _t
 
     import jax
@@ -84,40 +104,49 @@ def bench_solver(model):
     )
     warm_wall = _t.time() - t0
     iters_per_sec = r2.iterations / warm_wall if warm_wall > 0 else 0.0
+    # first-class compile-time artifact: AOT compile seconds of the device
+    # IPM loop, measured inside madipm_device at cache-miss time (0.0 = the
+    # loop came out of the in-process cache; small = persistent-cache hit)
+    loop_compile_s = det.get("loop_compile_s",
+                             (r2.detail or {}).get("loop_compile_s", -1.0))
 
+    healthy = bool(r.success and r2.iterations > 0 and iters_per_sec > 0)
     vs = 1.0
+    base = {}
     if os.path.exists(SOLVER_BASELINE_FILE):
         with open(SOLVER_BASELINE_FILE) as f:
             base = json.load(f)
-        if base.get("nbus") == NBUS and base.get("iters_per_sec"):
-            vs = iters_per_sec / base["iters_per_sec"]
-    elif r.success and r2.iterations > 0:  # only a healthy solve may anchor
+        if "nbus" in base:  # legacy flat single-entry layout
+            base = {str(base["nbus"]): base}
+    entry = base.get(str(nbus))
+    if entry and entry.get("iters_per_sec"):
+        vs = iters_per_sec / entry["iters_per_sec"]
+    elif healthy:  # only a healthy solve may anchor the baseline
+        base[str(nbus)] = {
+            "iters_per_sec": iters_per_sec,
+            "solve_wall_s": cold_wall,
+            "iterations": r.iterations,
+            "status": r.status,
+            "loop_compile_s": loop_compile_s,
+            "device": str(jax.devices()[0]),
+            "recorded": time.strftime("%Y-%m-%d"),
+            "protocol": "madipm_hybrid cold solve + warm device-loop rate",
+        }
         with open(SOLVER_BASELINE_FILE, "w") as f:
-            json.dump(
-                {
-                    "nbus": NBUS,
-                    "iters_per_sec": iters_per_sec,
-                    "solve_wall_s": cold_wall,
-                    "iterations": r.iterations,
-                    "status": r.status,
-                    "device": str(jax.devices()[0]),
-                    "recorded": time.strftime("%Y-%m-%d"),
-                    "protocol": "madipm_hybrid cold solve + warm device-loop rate",
-                },
-                f,
-            )
+            json.dump(base, f, indent=1)
 
     print(
         json.dumps(
             {
                 "metric": f"IPM iters/sec (warm f32 device loop), AC-OPF "
-                f"{NBUS}-bus madipm_hybrid to E0<={SOLVER_TOL:g} "
+                f"{nbus}-bus madipm_hybrid to E0<={SOLVER_TOL:g} "
                 f"(status={r.status}, iters={r.iterations} "
                 f"[coarse={det.get('coarse_iterations')}"
                 f"+polish={det.get('polish_iterations')}], "
                 f"solve_wall={cold_wall:.0f}s "
                 f"[coarse={det.get('coarse_wall', 0):.0f}s "
                 f"polish={det.get('polish_wall', 0):.0f}s], "
+                f"loop_compile={loop_compile_s:.1f}s, "
                 f"prim_inf={r.primal_infeasibility:.1e}, "
                 f"dual_inf={r.dual_infeasibility:.1e}, "
                 f"warm_iters={r2.iterations} in {warm_wall:.1f}s)",
@@ -128,6 +157,83 @@ def bench_solver(model):
         ),
         flush=True,
     )
+    return healthy
+
+
+def run_solver_phase():
+    """Run the solver metric in budget-boxed subprocesses: first the
+    headline NBUS, then (only if that failed or timed out) the smaller
+    fallback size, so SOME nonzero iters/sec number is always recorded even
+    on a fully cold XLA cache. The child's stdout is captured and relayed so
+    the parent can detect whether a metric line was actually produced; a
+    silent crash becomes an explicit FAILED line (advisor finding r3)."""
+    import subprocess
+
+    deadline = time.time() + SOLVER_BUDGET_S
+    sizes = [NBUS]
+    if SOLVER_FALLBACK_NBUS and SOLVER_FALLBACK_NBUS != NBUS:
+        sizes.append(SOLVER_FALLBACK_NBUS)
+
+    for i, nbus in enumerate(sizes):
+        remaining = deadline - time.time()
+        budget = remaining - (
+            SOLVER_FALLBACK_RESERVE_S if i + 1 < len(sizes) else 0.0
+        )
+        if budget <= 60:
+            continue
+        env = dict(os.environ, BENCH_NBUS=str(nbus))
+        out, rc, timed_out = "", None, False
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--solver-only"],
+                timeout=budget, check=False, env=env,
+                capture_output=True, text=True,
+            )
+            out, rc = p.stdout or "", p.returncode
+            err_tail = (p.stderr or "")[-400:]
+        except subprocess.TimeoutExpired as e:
+            timed_out = True
+            out = (e.stdout or b"")
+            out = out.decode(errors="replace") if isinstance(out, bytes) else out
+
+        emitted = ok = False
+        for line in out.splitlines():
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+                emitted = True
+                try:
+                    ok = json.loads(line).get("value", 0) > 0
+                except ValueError:
+                    pass
+        if timed_out and not emitted:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"IPM solver bench at {nbus}-bus SKIPPED: "
+                        f"exceeded {budget:.0f}s sub-budget "
+                        "(cold XLA cache / missing .xla_cache entries)",
+                        "value": 0.0,
+                        "unit": "iters/sec",
+                        "vs_baseline": 0.0,
+                    }
+                ),
+                flush=True,
+            )
+        elif not emitted:
+            print(
+                json.dumps(
+                    {
+                        "metric": f"IPM solver bench at {nbus}-bus FAILED "
+                        f"(rc={rc}): {err_tail}",
+                        "value": 0.0,
+                        "unit": "iters/sec",
+                        "vs_baseline": 0.0,
+                    }
+                ),
+                flush=True,
+            )
+        if ok:
+            break
 
 
 def main():
@@ -203,28 +309,7 @@ def main():
     # LAST so the driver's single-line parse keeps tracking vs_baseline on
     # the same metric across rounds (both lines land in the recorded tail)
     if SOLVER:
-        import subprocess
-
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--solver-only"],
-                timeout=SOLVER_BUDGET_S,
-                check=False,
-            )
-        except subprocess.TimeoutExpired:
-            print(
-                json.dumps(
-                    {
-                        "metric": "IPM solver bench SKIPPED: exceeded "
-                        f"BENCH_SOLVER_BUDGET_S={SOLVER_BUDGET_S:.0f}s "
-                        "(cold XLA cache; rerun with warm cache)",
-                        "value": 0.0,
-                        "unit": "iters/sec",
-                        "vs_baseline": 0.0,
-                    }
-                ),
-                flush=True,
-            )
+        run_solver_phase()
 
     print(
         json.dumps(
@@ -244,16 +329,17 @@ def main():
 
 def solver_only():
     """Child-process entry: build the model and run just the solver phase
-    (its JSON line goes to the shared stdout)."""
+    (its JSON line goes to the captured stdout; exit code signals health)."""
     from examodels_tpu.models import ac_opf_model
 
     try:
-        bench_solver(ac_opf_model(NBUS))
+        ok = bench_solver(ac_opf_model(NBUS), NBUS)
     except Exception as e:
         print(
             json.dumps(
                 {
-                    "metric": f"IPM solver bench FAILED: {type(e).__name__}: {e}",
+                    "metric": f"IPM solver bench at {NBUS}-bus FAILED: "
+                    f"{type(e).__name__}: {e}",
                     "value": 0.0,
                     "unit": "iters/sec",
                     "vs_baseline": 0.0,
@@ -261,6 +347,8 @@ def solver_only():
             ),
             flush=True,
         )
+        sys.exit(3)
+    sys.exit(0 if ok else 2)
 
 
 if __name__ == "__main__":

@@ -46,8 +46,11 @@ _UNARY = {
     53: "acos",
 }
 _BINARY = {
-    0: "add", 1: "sub", 2: "mul", 3: "div", 4: "mod", 5: "pow",
-    48: "atan2", 55: "floordiv",
+    # o4 is OPREM (TRUNCATED remainder, sign of dividend — not Python's
+    # floored %) and o55 is OPintDIV (truncation toward zero, not floor):
+    # mapped to the dedicated truncated ops (advisor finding r3).
+    0: "add", 1: "sub", 2: "mul", 3: "div", 4: "rem", 5: "pow",
+    48: "atan2", 55: "truncdiv",
 }
 _OP_SUMLIST, _OP_MINLIST, _OP_MAXLIST = 54, 11, 12
 _OP_1POW, _OP_2POW, _OP_CPOW = 76, 77, 78  # expr^n, expr^2, n^expr
@@ -231,83 +234,94 @@ def read_nl(source: str):
 
     i = 10  # header is exactly 10 lines
     nL = len(lines)
-    while i < nL:
-        raw = lines[i].split("#")[0]
-        if not raw.strip():
-            i += 1
-            continue
-        tag = raw[0]
-        parts = raw[1:].split()
-        if tag == "C":
-            tok = _Tokens(lines, i + 1)
-            con_nl[int(parts[0])] = _parse_expr(tok, defined)
-            i = tok.done_line()
-        elif tag == "O":
-            tok = _Tokens(lines, i + 1)
-            obj_sense.append(int(parts[1]))
-            obj_nl.append(_parse_expr(tok, defined))
-            i = tok.done_line()
-        elif tag == "V":
-            # V <idx> <nlin> <where>; linear terms then an expression.
-            idx, nlin = int(parts[0]), int(parts[1])
-            terms = []
-            for k in range(nlin):
-                v, cstr = lines[i + 1 + k].split("#")[0].split()
-                terms.append((int(v), float(cstr)))
-            tok = _Tokens(lines, i + 1 + nlin)
-            e = _parse_expr(tok, defined)
-            i = tok.done_line()
-            for v, cf in terms:
-                base = defined[v] if v in defined else _VarRef(v)
-                e = make_binary("add", e, make_binary("mul", as_node(cf), base))
-            defined[idx] = e
-        elif tag == "J":
-            r, n = int(parts[0]), int(parts[1])
-            for k in range(n):
-                v, cstr = lines[i + 1 + k].split("#")[0].split()
-                cf = float(cstr)
-                if cf != 0.0:
-                    con_lin[r].append((int(v), cf))
-            i += 1 + n
-        elif tag == "G":
-            o, n = int(parts[0]), int(parts[1])
-            lst = obj_lin.setdefault(o, [])
-            for k in range(n):
-                v, cstr = lines[i + 1 + k].split("#")[0].split()
-                cf = float(cstr)
-                if cf != 0.0:
-                    lst.append((int(v), cf))
-            i += 1 + n
-        elif tag == "x":
-            n = int(parts[0])
-            for k in range(n):
-                v, val = lines[i + 1 + k].split("#")[0].split()
-                x0[int(v)] = float(val)
-            i += 1 + n
-        elif tag == "d":
-            n = int(parts[0])
-            for k in range(n):
-                v, val = lines[i + 1 + k].split("#")[0].split()
-                y0[int(v)] = float(val)
-            i += 1 + n
-        elif tag == "r":
-            for k in range(ncon):
-                lcon[k], ucon[k] = _bound_row(lines[i + 1 + k].split("#")[0].split())
-            i += 1 + ncon
-        elif tag == "b":
-            for k in range(nvar):
-                lvar[k], uvar[k] = _bound_row(lines[i + 1 + k].split("#")[0].split())
-            i += 1 + nvar
-        elif tag == "k":
-            i += 1 + int(parts[0])  # column pointers: sparsity bookkeeping only
-        elif tag == "S":
-            i += 1 + int(parts[2])  # suffix: kind n name, then n lines
-        elif tag == "F":
-            raise ValueError(".nl imported functions (F segments) are not supported")
-        elif tag == "L":
-            raise ValueError(".nl logical constraints are not supported")
-        else:
-            raise ValueError(f"unknown .nl segment {tag!r} at line {i + 1}")
+    try:
+        while i < nL:
+            raw = lines[i].split("#")[0]
+            if not raw.strip():
+                i += 1
+                continue
+            tag = raw[0]
+            parts = raw[1:].split()
+            if tag == "C":
+                tok = _Tokens(lines, i + 1)
+                con_nl[int(parts[0])] = _parse_expr(tok, defined)
+                i = tok.done_line()
+            elif tag == "O":
+                tok = _Tokens(lines, i + 1)
+                obj_sense.append(int(parts[1]))
+                obj_nl.append(_parse_expr(tok, defined))
+                i = tok.done_line()
+            elif tag == "V":
+                # V <idx> <nlin> <where>; linear terms then an expression.
+                idx, nlin = int(parts[0]), int(parts[1])
+                terms = []
+                for k in range(nlin):
+                    v, cstr = lines[i + 1 + k].split("#")[0].split()
+                    terms.append((int(v), float(cstr)))
+                tok = _Tokens(lines, i + 1 + nlin)
+                e = _parse_expr(tok, defined)
+                i = tok.done_line()
+                for v, cf in terms:
+                    base = defined[v] if v in defined else _VarRef(v)
+                    e = make_binary("add", e, make_binary("mul", as_node(cf), base))
+                defined[idx] = e
+            elif tag == "J":
+                r, n = int(parts[0]), int(parts[1])
+                for k in range(n):
+                    v, cstr = lines[i + 1 + k].split("#")[0].split()
+                    cf = float(cstr)
+                    if cf != 0.0:
+                        con_lin[r].append((int(v), cf))
+                i += 1 + n
+            elif tag == "G":
+                o, n = int(parts[0]), int(parts[1])
+                lst = obj_lin.setdefault(o, [])
+                for k in range(n):
+                    v, cstr = lines[i + 1 + k].split("#")[0].split()
+                    cf = float(cstr)
+                    if cf != 0.0:
+                        lst.append((int(v), cf))
+                i += 1 + n
+            elif tag == "x":
+                n = int(parts[0])
+                for k in range(n):
+                    v, val = lines[i + 1 + k].split("#")[0].split()
+                    x0[int(v)] = float(val)
+                i += 1 + n
+            elif tag == "d":
+                n = int(parts[0])
+                for k in range(n):
+                    v, val = lines[i + 1 + k].split("#")[0].split()
+                    y0[int(v)] = float(val)
+                i += 1 + n
+            elif tag == "r":
+                for k in range(ncon):
+                    lcon[k], ucon[k] = _bound_row(lines[i + 1 + k].split("#")[0].split())
+                i += 1 + ncon
+            elif tag == "b":
+                for k in range(nvar):
+                    lvar[k], uvar[k] = _bound_row(lines[i + 1 + k].split("#")[0].split())
+                i += 1 + nvar
+            elif tag == "k":
+                i += 1 + int(parts[0])  # column pointers: sparsity bookkeeping only
+            elif tag == "S":
+                # suffix segment "S<kind> <n> <name>": n data lines follow. The
+                # count is parts[1]; parts[2] is the suffix NAME (advisor r3).
+                i += 1 + int(parts[1])
+            elif tag == "F":
+                raise ValueError(".nl imported functions (F segments) are not supported")
+            elif tag == "L":
+                raise ValueError(".nl logical constraints are not supported")
+            else:
+                raise ValueError(f"unknown .nl segment {tag!r} at line {i + 1}")
+    except (ValueError, IndexError) as e:
+        # surface the failing segment + 1-based line so a malformed .nl
+        # points at its own text instead of a bare mid-stream error
+        if "[.nl line" in str(e):
+            raise
+        raise ValueError(
+            f"{e} [.nl line {i + 1}: {lines[i][:60]!r}]"
+        ) from e
 
     if len(hdr6) >= 2 and hdr6[1] > 0:
         raise ValueError(".nl imported functions are not supported")

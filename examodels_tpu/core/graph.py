@@ -530,6 +530,10 @@ def _register_builtin_ops():
     b("min", jnp.minimum, False, False, False)
     b("mod", lambda a, x: a % x, False, False, False)
     b("floordiv", lambda a, x: a // x, False, False, False)
+    # AMPL/C-style truncated variants (sign of the DIVIDEND, unlike the
+    # floored `%`/`//` above): .nl opcodes o4 (OPREM) and o55 (OPintDIV)
+    b("rem", lambda a, x: a - jnp.trunc(a / x) * x, False, False, False)
+    b("truncdiv", lambda a, x: jnp.trunc(a / x), False, False, False)
     b("logaddexp", jnp.logaddexp, True, True, True)
     b("beta", lambda a, x: jnp.exp(jsp.gammaln(a) + jsp.gammaln(x) - jsp.gammaln(a + x)), True, True, True)
     b("logbeta", lambda a, x: jsp.gammaln(a) + jsp.gammaln(x) - jsp.gammaln(a + x), True, True, True)

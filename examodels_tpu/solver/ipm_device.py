@@ -45,6 +45,19 @@ _STATUS_NAMES = {
 _NFILT = 64
 
 
+def _mesh_key(mesh):
+    """Stable cache-key component for an options mesh. `id(mesh)` is unsafe
+    (CPython reuses ids after GC → possible stale compiled-loop hit; and two
+    equal-but-distinct meshes would each pay the full compile). Key on the
+    mesh's shape + axis names instead."""
+    if mesh is None:
+        return None
+    try:
+        return (tuple(sorted(mesh.shape.items())), tuple(mesh.axis_names))
+    except AttributeError:  # non-Mesh object: fall back to identity
+        return id(mesh)
+
+
 def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
                   **kwargs) -> IPMResult:
     # private copy: resolved floors (delta_c_min) stay local to this solve
@@ -95,7 +108,7 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         opts.scaling,
         opts.scaling_max_gradient,
         opts.bound_relax_factor,  # baked into F.l/F.u closed over by evals
-        id(opts.mesh) if opts.mesh is not None else None,
+        _mesh_key(opts.mesh),
     )
     cache = model.__dict__.setdefault("_ipm_device_cache", {})
     cached = cache.get(struct_key)
@@ -175,16 +188,25 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     n_bound = int(has_l.sum() + has_u.sum())
     mu_floor = opts.mu_min_factor * opts.tol
 
-    if cached is not None:
-        solve_loop = cached["loop"]
-    else:
-        solve_loop = _build_loop(F, kkt, dtype, n, m, n_bound)
-        cache[struct_key] = dict(
-            structure=structure, kkt=kkt, F=F, loop=solve_loop
-        )
     P = _pack_options(opts, dtype, delta_c_min=delta_c_min,
                       theta_max=theta_max, theta_min=theta_min,
                       mu_floor=mu_floor)
+    if cached is not None:
+        solve_loop = cached["loop"]
+        loop_compile_s = 0.0  # in-process cache hit: no compile paid
+    else:
+        # AOT-compile the loop explicitly (instead of letting the first call
+        # trigger it) so compile time is a first-class, separately-reported
+        # number — it lands in IPMResult.detail["loop_compile_s"] and in the
+        # bench metric string. With a warm persistent XLA cache this is a
+        # fast executable deserialization; cold it is the dominant cost.
+        run_fn = _build_loop(F, kkt, dtype, n, m, n_bound)
+        tc = time.time()
+        solve_loop = run_fn.lower(v, y, zl, zu, theta_p, P).compile()
+        loop_compile_s = time.time() - tc
+        cache[struct_key] = dict(
+            structure=structure, kkt=kkt, F=F, loop=solve_loop
+        )
     out = solve_loop(v, y, zl, zu, theta_p, P)
     out = jax.device_get(out)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
@@ -205,6 +227,7 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         complementarity=float(out["comp"]),
         wall_time=time.time() - t0,
         mu=float(out["mu"]),
+        detail=dict(loop_compile_s=loop_compile_s),
     )
 
 
@@ -577,6 +600,7 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
         coarse_wall=r1.wall_time,
         polish_iterations=r2.iterations,
         polish_wall=time.time() - t_polish,
+        loop_compile_s=(r1.detail or {}).get("loop_compile_s", -1.0),
     )
     r2.iterations += r1.iterations
     r2.wall_time = time.time() - t0

@@ -1,0 +1,183 @@
+"""Scenario-Schur scaling benchmark on a virtual device mesh.
+
+BASELINE.md's scaling target is ">= 80% efficiency to 2 hosts (v5e)" on the
+two-stage stochastic AC-OPF. Real multi-host hardware is unavailable in this
+environment (one tunneled TPU chip), so this measures the agreed stand-in:
+the SAME sharded program (ScenarioSchurKKT over a `Mesh(("scen",))` — the
+per-iteration dominant phase of the scenario IPM) on an
+`xla_force_host_platform_device_count=8` virtual CPU mesh.
+
+What the virtual mesh can and cannot tell us
+--------------------------------------------
+The 8 virtual devices share this machine's 2 physical cores, so RAW
+wall-clock "speedup vs 1 device" is meaningless (there is no extra silicon
+to scale onto). Two quantities ARE meaningful here:
+
+  1. PARTITION OVERHEAD (table `overhead`): fixed total work (S scenarios),
+     mesh axis grown 1 -> 8. Identical FLOPs on identical hardware; any
+     slowdown is GSPMD partitioning + collective cost — the part of scaling
+     efficiency that this environment can actually measure. On real hosts,
+     efficiency = overhead_efficiency x (collective time riding ICI), and
+     the first factor is what we report.
+  2. WEAK SCALING SHAPE (table `weak`): per-device scenario count held at
+     S0, total work grown with the mesh. Per-scenario solve time should
+     stay flat if nothing global (the replicated first-stage Schur corner,
+     its Cholesky, the Woodbury capacitance) grows superlinearly with S.
+
+Writes SCALING_r{N}.json (round number from $ROUND, default 04) at the repo
+root and prints a summary. Run:  python scripts/bench_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.setdefault("EXAMODELS_TPU_CACHE_DIR", "/tmp/examodels_tpu_xla_cache")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+NBUS = int(os.environ.get("SCALING_NBUS", "30"))
+S0 = int(os.environ.get("SCALING_S0", "8"))  # scenarios per device (weak)
+SFIX = int(os.environ.get("SCALING_SFIX", "64"))  # total scenarios (overhead)
+REPS = int(os.environ.get("SCALING_REPS", "10"))
+
+
+def mesh_of(ndev):
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:ndev]), ("scen",))
+
+
+def build_kkt(model, mesh):
+    from examodels_tpu.solver.kkt import build_structure
+    from examodels_tpu.solver.schur import ScenarioSchurKKT
+
+    structure = build_structure(model)
+    return structure, ScenarioSchurKKT(
+        structure, model._var_scen, model._con_scen, model.nscen,
+        model.dtype, mesh=mesh,
+    )
+
+
+def representative_inputs(model, structure):
+    """Realistic KKT inputs: true oracle values at a perturbed start plus a
+    mid-solve barrier diagonal, so the factorization cost matches a real
+    IPM iteration (PD-ness does not change the cost, but use plausible
+    regularization anyway)."""
+    x = model.x0 + 0.01
+    y = jnp.asarray(
+        np.random.default_rng(0).standard_normal(model.ncon) * 0.1, model.dtype
+    )
+    _, _, hvals = model.hess_coord(x, y, obj_weight=1.0)
+    _, _, jvals = model.jac_coord(x)
+    n = structure.nx + structure.ns
+    sigma = jnp.ones(n, model.dtype)  # barrier diagonal at mid-solve scale
+    dw = jnp.zeros(n, model.dtype)
+    dc = jnp.asarray(1e-7, model.dtype)
+    rng = np.random.default_rng(1)
+    r1 = jnp.asarray(rng.standard_normal(n), model.dtype)
+    r2 = jnp.asarray(rng.standard_normal(structure.m), model.dtype)
+    return hvals, jvals, sigma, dw, dc, r1, r2
+
+
+def timed_solve(kkt, args, reps=REPS):
+    out = kkt.solve(*args)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = kkt.solve(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from examodels_tpu.models import stochastic_opf_model
+    from examodels_tpu.models.opf import synthetic_case
+
+    assert len(jax.devices()) >= 8, "need 8 virtual devices (XLA_FLAGS)"
+    case = synthetic_case(NBUS)
+    out = {
+        "nbus": NBUS,
+        "protocol": "ScenarioSchurKKT.solve wall time, warm, mean of "
+        f"{REPS} reps, virtual CPU mesh on "
+        f"{os.cpu_count()} physical cores",
+        "weak": [],
+        "overhead": [],
+    }
+
+    # ---- table 1: fixed total work, growing mesh (partition overhead) ----
+    model = stochastic_opf_model(case, nscen=SFIX)
+    structure, _ = build_kkt(model, None)
+    args = representative_inputs(model, structure)
+    t_ref = None
+    for ndev in (1, 2, 4, 8):
+        _, kkt = build_kkt(model, mesh_of(ndev))
+        t = timed_solve(kkt, args)
+        t_ref = t_ref or t
+        out["overhead"].append(
+            {
+                "devices": ndev,
+                "nscen": SFIX,
+                "solve_ms": round(t * 1e3, 3),
+                "overhead_efficiency": round(t_ref / t, 4),
+            }
+        )
+        print(out["overhead"][-1], flush=True)
+
+    # ---- table 2: per-device work fixed, total grown (weak shape) --------
+    t_scen_ref = None
+    for ndev in (1, 2, 4, 8):
+        S = S0 * ndev
+        model = stochastic_opf_model(case, nscen=S)
+        structure, kkt = build_kkt(model, mesh_of(ndev))
+        args = representative_inputs(model, structure)
+        t = timed_solve(kkt, args)
+        t_scen = t / S
+        t_scen_ref = t_scen_ref or t_scen
+        out["weak"].append(
+            {
+                "devices": ndev,
+                "nscen": S,
+                "solve_ms": round(t * 1e3, 3),
+                "ms_per_scenario": round(t_scen * 1e3, 4),
+                "per_scenario_efficiency": round(t_scen_ref / t_scen, 4),
+            }
+        )
+        print(out["weak"][-1], flush=True)
+
+    o8 = out["overhead"][-1]["overhead_efficiency"]
+    w8 = out["weak"][-1]["per_scenario_efficiency"]
+    out["analysis"] = (
+        f"Partition overhead at 8-way sharding: {o8:.0%} of unsharded "
+        f"throughput on identical hardware/work (GSPMD slicing + psum "
+        f"reductions of the first-stage Schur contributions). Weak-scaling "
+        f"per-scenario efficiency {w8:.0%} at 8 devices / {S0 * 8} "
+        f"scenarios: the batched per-scenario Cholesky is O(S) and "
+        f"shards cleanly; the replicated n0xn0 first-stage corner and "
+        f"mC-row Woodbury capacitance are S-independent and amortize. "
+        f"Virtual CPU devices share {os.cpu_count()} physical cores, so "
+        f"raw speedup-vs-1-device is not measurable here; on real multi-"
+        f"host v5e the psum terms ride ICI and these two factors bound "
+        f"the achievable efficiency."
+    )
+    n = os.environ.get("ROUND", "04")
+    path = os.path.join(ROOT, f"SCALING_r{n}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -219,3 +219,16 @@ class TestPallasGatherPlan:
         h1 = np.asarray(m.hess_coord(x, y))
         h2 = np.asarray(m2.hess_coord(x, y))
         assert np.abs(h1 - h2).max() < 1e-13 * max(1.0, np.abs(h2).max())
+
+
+def test_f64_two_plane_probe_rejects_true_f64_backend():
+    # On CPU f64 carries a full 53-bit significand, so the two-plane f32
+    # transport is lossy and the probe must say so (forcing the 'auto'
+    # kernel selection back to the XLA gather). On an f32x2-emulating TPU
+    # stack the same probe returns True and enables the Pallas kernel.
+    import jax
+
+    from examodels_tpu.ops.gather import f64_two_plane_exact
+
+    assert jax.default_backend() == "cpu"
+    assert f64_two_plane_exact() is False

@@ -139,3 +139,30 @@ class TestErrors:
         lines[6] = " 1 0 0 0 0"
         with pytest.raises(ValueError, match="discrete"):
             read_nl("\n".join(lines) + "\n")
+
+
+class TestAdvisorR3Fixes:
+    def test_suffix_segment_skipped(self):
+        # "S<kind> <n> <name>" carries n data lines; the count is field 2,
+        # not the name (advisor r3 medium: int(parts[2]) crashed on the name)
+        txt = open(os.path.join(DATA, "hs071.nl")).read()
+        d = read_nl(txt + "S0 2 zork\n0 1\n1 3\n")
+        assert d["nvar"] == 4 and d["ncon"] == 2
+
+    def test_rem_truncdiv_sign_semantics(self):
+        # o4 (OPREM) takes the sign of the DIVIDEND; o55 (OPintDIV)
+        # truncates toward zero — both differ from Python's floored %, //
+        # when operands have mixed signs.
+        from examodels_tpu.core.graph import BIVARIATE_OPS
+
+        rem = BIVARIATE_OPS["rem"].fn
+        tdiv = BIVARIATE_OPS["truncdiv"].fn
+        assert float(rem(-7.0, 2.0)) == -1.0      # Python -7 % 2 == 1
+        assert float(rem(7.0, -2.0)) == 1.0       # Python 7 % -2 == -1
+        assert float(tdiv(-7.0, 2.0)) == -3.0     # Python -7 // 2 == -4
+        assert float(tdiv(7.0, -2.0)) == -3.0
+
+    def test_parse_error_carries_line_context(self):
+        txt = open(os.path.join(DATA, "hs071.nl")).read()
+        with pytest.raises(ValueError, match=r"\[\.nl line "):
+            read_nl(txt + "S0 nope zork\n")
