@@ -213,17 +213,26 @@ def parse_matpower(path: str) -> OPFData:
     )
 
 
-def synthetic_case(nbus: int, *, seed: int = 7) -> OPFData:
+def synthetic_case(nbus: int, *, seed: int = 7, chord_span: int = None) -> OPFData:
     """Deterministic synthetic grid: a ring backbone + random chords
     (≈1.4 branches/bus), ~20% generator buses — realistic AC-OPF pattern
-    sizes at arbitrary scale for zero-egress benchmarking."""
+    sizes at arbitrary scale for zero-egress benchmarking.
+
+    `chord_span` caps the ring distance of the random chords (default:
+    min(64, nbus // 10), the historical value — do not change it for the
+    benchmark model, whose checksum is pinned across rounds). Small spans
+    (e.g. 8) produce near-planar grids with thin graph cuts like real
+    transmission networks — the regime where network partitioning
+    (parallel/partition.py) pays."""
     rng = np.random.default_rng(seed)
     # ring backbone + geographically-local chords (real transmission grids
     # are near-planar: RCM bandwidth of pglib cases is O(100), which is what
     # makes the block-tridiagonal KKT factorization the right TPU backend)
+    if chord_span is None:
+        chord_span = min(64, nbus // 10)
     nbr_extra = int(0.6 * nbus)
     cf = rng.integers(0, nbus, nbr_extra)
-    ct = (cf + rng.integers(2, max(3, min(64, nbus // 10)), nbr_extra)) % nbus
+    ct = (cf + rng.integers(2, max(3, chord_span), nbr_extra)) % nbus
     f = np.concatenate([np.arange(nbus), cf])
     t = np.concatenate([(np.arange(nbus) + 1) % nbus, ct])
     keep = f != t

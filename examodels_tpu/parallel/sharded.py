@@ -21,13 +21,17 @@ ICI via XLA psum, and is the foundation for the two-stage scenario mesh axis.
 SCOPE: this evaluator is the element-axis sharding *correctness dryrun* —
 its `newton_step` assembles replicated dense (m+n)² systems, which is fine
 for validating shardings on a virtual mesh and useless at 10k-bus scale.
-Production multi-chip solving goes through the SCENARIO mesh instead:
-`madipm(model, linear_solver="schur", mesh=parallel.scenario_mesh())` on a
-TwoStageModel — the per-scenario KKT blocks factor on their own devices and
-the first-stage Schur reductions psum over ICI (solver/schur.py). For
-single-scenario problems that exceed one chip, shard the scenario axis of a
-synthetic replication or wait for the sharded-blocktri backend; do NOT
-build on `newton_step`.
+Production multi-chip solving is solver-grade on BOTH axes:
+  * scenario axis — `madipm(model, linear_solver="schur",
+    mesh=parallel.scenario_mesh())` on a TwoStageModel: per-scenario KKT
+    blocks factor on their own devices, first-stage Schur reductions psum
+    over ICI (solver/schur.py);
+  * network-partition axis — `parallel.partition_model(model, nparts)` tags
+    a SINGLE large NLP (e.g. one big AC-OPF) by graph-partitioning its
+    condensed-KKT sparsity, and the same arrowhead backend factors the
+    per-part blocks across the mesh (parallel/partition.py; validated at
+    1k-bus over the 8-device mesh in tests/test_partition.py).
+`newton_step` remains a dryrun utility only.
 """
 
 from __future__ import annotations

@@ -86,17 +86,30 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     # a usable and an unusable solver bench.
     structure_early = None
     solver_kind = opts.linear_solver
+    is_arrowhead = getattr(model, "nscen", 1) > 1 and hasattr(model, "_var_scen")
     if solver_kind is None:
         structure_early = build_structure(model)
         n_guess = structure_early.nx + structure_early.ns + structure_early.m
-        solver_kind = "dense" if n_guess <= opts.dense_limit else "blocktri"
+        if is_arrowhead and n_guess > opts.dense_limit:
+            solver_kind = "schur"  # same auto rule as madipm (ipm.py)
+        else:
+            solver_kind = "dense" if n_guess <= opts.dense_limit else "blocktri"
     fdt = opts.factor_dtype
     if isinstance(fdt, str):
         fdt = jnp.dtype(fdt).type
+    if solver_kind == "schur" and fdt is not None and \
+            jnp.dtype(fdt) != jnp.dtype(dtype):
+        raise ValueError(
+            "the schur backend factors in the working dtype only; "
+            "unset factor_dtype (madipm_hybrid's f32 bulk loop is "
+            "blocktri/dense-specific)"
+        )
     # resolved dual-regularization floor (local: never mutate user opts)
     delta_c_min = opts.delta_c_min
     if fdt is not None and delta_c_min == 0.0:
         delta_c_min = 1e-5
+    if solver_kind == "schur" and delta_c_min == 0.0:
+        delta_c_min = 1e-7  # S-fold Schur summation cancellation (ipm.py)
     if delta_c_min == 0.0 and jax.default_backend() == "tpu":
         # see ipm.py: TPU-emulated f64 matmul error x cond(K) must stay
         # inside the iterative-refinement contraction region
@@ -125,7 +138,14 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         kkt = cached["kkt"]
         F = cached["F"]
     else:
-        if solver_kind == "blocktri":
+        if solver_kind == "schur":
+            from .schur import ScenarioSchurKKT
+
+            kkt = ScenarioSchurKKT(
+                structure, model._var_scen, model._con_scen, model.nscen,
+                dtype, mesh=opts.mesh,
+            )
+        elif solver_kind == "blocktri":
             from .blocktri import BlockTriKKT
 
             try:

@@ -53,8 +53,18 @@ def scenario_partition(structure: KKTStructure, var_scen, con_scen, nscen: int):
     """Validate + build the scenario partition of the slacked primal space.
 
     Returns a dict of numpy index maps, or raises ValueError when the
-    problem is not block-arrowhead (unequal block sizes, or a Hessian /
-    local-Jacobian entry coupling two different scenarios).
+    problem is not block-arrowhead (a Hessian / local-Jacobian entry
+    coupling two different scenarios).
+
+    Unequal block sizes are allowed: blocks pad to the largest with PHANTOM
+    indices (column index n, row index m — one past the end). The solver
+    gathers from (n+1)/(m+1)-extended vectors whose phantom entry is 1 for
+    the barrier diagonal (keeps padded Cholesky rows PD) and 0 for every
+    residual, and scatters back into extended vectors whose phantom slot is
+    dropped — so pads cost FLOPs but never touch real data. This is what
+    lets the same arrowhead kernel serve both EachScenario replication
+    (equal blocks, zero pads) and general graph partitions of a single
+    large NLP (parallel/partition.py).
     """
     s = structure
     var_scen = np.asarray(var_scen, dtype=np.int64)
@@ -71,19 +81,18 @@ def scenario_partition(structure: KKTStructure, var_scen, con_scen, nscen: int):
     fs_cols = np.nonzero(v_scen == 0)[0].astype(np.int32)
     n0 = int(fs_cols.shape[0])
     loc_lists = [np.nonzero(v_scen == k)[0] for k in range(1, S + 1)]
-    sizes = {int(a.shape[0]) for a in loc_lists}
-    if len(sizes) != 1:
-        raise ValueError(f"unequal scenario block sizes: {sorted(sizes)}")
-    n_loc = sizes.pop()
+    n_loc = max(int(a.shape[0]) for a in loc_lists)
     if n_loc == 0:
         raise ValueError("no scenario-local columns — nothing to eliminate")
-    loc_cols = np.stack(loc_lists).astype(np.int32)  # (S, n_loc)
+    loc_cols = np.full((S, n_loc), s.n, dtype=np.int32)  # phantom = n
+    for k, a in enumerate(loc_lists):
+        loc_cols[k, : a.shape[0]] = a
 
     # column -> (scenario-1, local index) maps; fs -> index into fs_cols
     col_scen = v_scen
     col_local = np.zeros(s.n, dtype=np.int32)
-    for k in range(S):
-        col_local[loc_cols[k]] = np.arange(n_loc, dtype=np.int32)
+    for k, a in enumerate(loc_lists):
+        col_local[a] = np.arange(a.shape[0], dtype=np.int32)
     fs_local = np.zeros(s.n, dtype=np.int32)
     fs_local[fs_cols] = np.arange(n0, dtype=np.int32)
 
@@ -91,18 +100,13 @@ def scenario_partition(structure: KKTStructure, var_scen, con_scen, nscen: int):
     crow_idx = np.nonzero(con_scen == 0)[0].astype(np.int32)
     mC = int(crow_idx.shape[0])
     row_lists = [np.nonzero(con_scen == k)[0] for k in range(1, S + 1)]
-    rsizes = {int(a.shape[0]) for a in row_lists}
-    if len(rsizes) != 1:
-        raise ValueError(f"unequal scenario row counts: {sorted(rsizes)}")
-    m_loc = rsizes.pop()
-    loc_rows = (
-        np.stack(row_lists).astype(np.int32)
-        if m_loc
-        else np.zeros((S, 0), np.int32)
-    )
+    m_loc = max(int(a.shape[0]) for a in row_lists)
+    loc_rows = np.full((S, m_loc), s.m, dtype=np.int32)  # phantom = m
+    for k, a in enumerate(row_lists):
+        loc_rows[k, : a.shape[0]] = a
     row_local = np.zeros(s.m, dtype=np.int32)
-    for k in range(S):
-        row_local[loc_rows[k]] = np.arange(m_loc, dtype=np.int32)
+    for k, a in enumerate(row_lists):
+        row_local[a] = np.arange(a.shape[0], dtype=np.int32)
     crow_local = np.zeros(s.m, dtype=np.int32)
     crow_local[crow_idx] = np.arange(mC, dtype=np.int32)
 
@@ -304,11 +308,17 @@ class ScenarioSchurKKT:
             self._shard, (Dw, Bw, A_loc, A_fs, Cs)
         )
 
-        d_loc = self._shard(d[self._loc_cols])           # (S, n_loc)
+        # phantom-extended gathers: index n/m (block padding for unequal
+        # partition sizes) reads a 1 for the diagonal (padded Cholesky rows
+        # stay PD) and a 0 for every residual — pads never touch real data
+        d_ext = jnp.concatenate([d, jnp.ones(1, dt)])
+        r1_ext = jnp.concatenate([r1, jnp.zeros(1, dt)])
+        r2_ext = jnp.concatenate([r2, jnp.zeros(1, dt)])
+        d_loc = self._shard(d_ext[self._loc_cols])       # (S, n_loc)
         d_fs = d[self._fs_cols]                          # (n0,)
-        r1_loc = self._shard(r1[self._loc_cols])
+        r1_loc = self._shard(r1_ext[self._loc_cols])
         r1_fs = r1[self._fs_cols]
-        r2_loc = self._shard(r2[self._loc_rows])         # (S, m_loc)
+        r2_loc = self._shard(r2_ext[self._loc_rows])     # (S, m_loc)
         r2C = r2[self._crow_idx]                         # (mC,)
 
         # ---- condensation of local rows (MXU batched matmuls) ------------
@@ -436,13 +446,14 @@ class ScenarioSchurKKT:
             refine, (dv0, dvs, dy_loc, dyC), None, length=3
         )
 
-        # ---- scatter back to flat (dv, dy) --------------------------------
-        dv = jnp.zeros(self.s.n, dt)
-        dv = dv.at[self._fs_cols].set(dv0)
+        # ---- scatter back to flat (dv, dy): phantom slot n/m dropped ------
+        dv = jnp.zeros(self.s.n + 1, dt)
         dv = dv.at[self._loc_cols.reshape(-1)].set(dvs.reshape(-1))
-        dy = jnp.zeros(self.s.m, dt)
+        dv = dv[: self.s.n].at[self._fs_cols].set(dv0)
+        dy = jnp.zeros(self.s.m + 1, dt)
         if m_loc:
             dy = dy.at[self._loc_rows.reshape(-1)].set(dy_loc.reshape(-1))
+        dy = dy[: self.s.m]
         if mC:
             dy = dy.at[self._crow_idx].set(dyC)
 

@@ -80,8 +80,8 @@ def representative_inputs(model, structure):
     y = jnp.asarray(
         np.random.default_rng(0).standard_normal(model.ncon) * 0.1, model.dtype
     )
-    _, _, hvals = model.hess_coord(x, y, obj_weight=1.0)
-    _, _, jvals = model.jac_coord(x)
+    hvals = model.hess_coord(x, y, obj_weight=1.0)
+    jvals = model.jac_coord(x)
     n = structure.nx + structure.ns
     sigma = jnp.ones(n, model.dtype)  # barrier diagonal at mid-solve scale
     dw = jnp.zeros(n, model.dtype)

@@ -2,6 +2,7 @@
 Ipopt anchors — the whole solve is one lax.while_loop XLA program."""
 
 import numpy as np
+import pytest
 
 from examodels_tpu import madipm, madipm_device
 from examodels_tpu.models import (
@@ -29,6 +30,7 @@ class TestDeviceIPM:
         assert r1.status == "first_order" and r2.status == "first_order"
         assert abs(r1.objective - r2.objective) < 1e-8
 
+    @pytest.mark.slow
     def test_opf(self):
         m = ac_opf_model(30)
         r = madipm_device(m, tol=1e-8, max_iter=100)
@@ -53,6 +55,7 @@ class TestDeviceIPM:
         assert ref.status == "first_order" and r.status == "first_order"
         assert abs(r.objective - ref.objective) < 1e-6 * max(1, abs(ref.objective))
 
+    @pytest.mark.slow
     def test_hybrid_opf200(self):
         m = ac_opf_model(200)
         ref = madipm(m, tol=1e-8, max_iter=200)

@@ -64,6 +64,7 @@ class TestStochasticOPF:
     @pytest.mark.skipif(
         len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
     )
+    @pytest.mark.slow
     def test_512_scenarios_sharded(self):
         """Config 5 at full scenario count: 512 scenarios sharded over the
         8-device mesh, solved by the scenario-Schur backend to 1e-6."""
