@@ -111,6 +111,8 @@ def bench_solver(model, nbus):
                              (r2.detail or {}).get("loop_compile_s", -1.0))
 
     healthy = bool(r.success and r2.iterations > 0 and iters_per_sec > 0)
+    if os.environ.get("BENCH_FORCE_CPU"):
+        healthy = False  # plumbing runs must never anchor the TPU baseline
     vs = 1.0
     base = {}
     if os.path.exists(SOLVER_BASELINE_FILE):

@@ -1,0 +1,55 @@
+"""Probe: which configuration of the 10k-bus device-IPM loop survives on
+the axon TPU tunnel?
+
+Observed (2026-08-20): the 10k-bus f32-factor blocktri loop COMPILES
+(~35 min remote, 90 MB executable, persistent-cached) but the TPU worker
+crashes at execution ("kernel fault"), while the same model's standalone
+jit_evals (incl. Pallas gather) and a single blocktri f32 solve both run
+fine. Candidate culprits: the Pallas gather lowered INSIDE the while_loop
+program, or the fused program's VMEM footprint.
+
+Usage:  python scripts/probe_10k_loop.py [nbus] [xla|pallas]
+Runs madipm_device coarse (f32, tol 1e-4, max_iter 60) only, printing
+status + loop_compile_s. Each new (nbus, gather) config pays the full
+remote compile once; results land in the committed .xla_cache.
+"""
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("EXAMODELS_TPU_CACHE_DIR", os.path.join(ROOT, ".xla_cache"))
+
+NBUS = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+GATHER = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+os.environ["EXAMODELS_TPU_GATHER"] = GATHER
+
+
+def main():
+    from examodels_tpu.models import ac_opf_model
+    from examodels_tpu.solver.ipm_device import madipm_device
+
+    t0 = time.time()
+    model = ac_opf_model(NBUS)
+    print(f"built {NBUS}-bus model in {time.time() - t0:.0f}s "
+          f"(gather={GATHER}, pallas_plan={model._gplan is not None})",
+          flush=True)
+    t0 = time.time()
+    r = madipm_device(
+        model, tol=1e-4, factor_dtype="float32", acceptable_iter=5,
+        acceptable_tol=1e-3, max_iter=60,
+    )
+    print(
+        f"RESULT nbus={NBUS} gather={GATHER} status={r.status} "
+        f"iters={r.iterations} wall={time.time() - t0:.0f}s "
+        f"loop_compile={(r.detail or {}).get('loop_compile_s', -1):.0f}s "
+        f"prim_inf={r.primal_infeasibility:.2e} "
+        f"dual_inf={r.dual_infeasibility:.2e}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
