@@ -29,6 +29,7 @@ root and prints a summary. Run:  python scripts/bench_scaling.py
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -93,13 +94,19 @@ def representative_inputs(model, structure):
 
 
 def timed_solve(kkt, args, reps=REPS):
+    """Minimum over reps (the reference's @belapsed protocol,
+    /root/reference/benchmark/runbenchmark.jl:83-120): on 8 virtual devices
+    sharing 2 physical cores the OS scheduler adds multi-hundred-ms noise to
+    individual reps; the minimum is the partition-overhead signal."""
     out = kkt.solve(*args)
     jax.block_until_ready(out)  # compile + warm
-    t0 = time.perf_counter()
+    best = math.inf
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = kkt.solve(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
@@ -110,8 +117,8 @@ def main():
     case = synthetic_case(NBUS)
     out = {
         "nbus": NBUS,
-        "protocol": "ScenarioSchurKKT.solve wall time, warm, mean of "
-        f"{REPS} reps, virtual CPU mesh on "
+        "protocol": "ScenarioSchurKKT.solve wall time, warm, min of "
+        f"{REPS} reps (@belapsed protocol), virtual CPU mesh on "
         f"{os.cpu_count()} physical cores",
         "weak": [],
         "overhead": [],
