@@ -164,20 +164,25 @@ def main():
         )
         print(out["weak"][-1], flush=True)
 
-    o8 = out["overhead"][-1]["overhead_efficiency"]
+    eff = {r["devices"]: r["overhead_efficiency"] for r in out["overhead"]}
     w8 = out["weak"][-1]["per_scenario_efficiency"]
     out["analysis"] = (
-        f"Partition overhead at 8-way sharding: {o8:.0%} of unsharded "
-        f"throughput on identical hardware/work (GSPMD slicing + psum "
-        f"reductions of the first-stage Schur contributions). Weak-scaling "
-        f"per-scenario efficiency {w8:.0%} at 8 devices / {S0 * 8} "
-        f"scenarios: the batched per-scenario Cholesky is O(S) and "
-        f"shards cleanly; the replicated n0xn0 first-stage corner and "
-        f"mC-row Woodbury capacitance are S-independent and amortize. "
-        f"Virtual CPU devices share {os.cpu_count()} physical cores, so "
-        f"raw speedup-vs-1-device is not measurable here; on real multi-"
-        f"host v5e the psum terms ride ICI and these two factors bound "
-        f"the achievable efficiency."
+        f"Partition-overhead efficiency (fixed {SFIX}-scenario work, "
+        f"identical FLOPs/hardware, any loss = GSPMD slicing + psum of the "
+        f"first-stage Schur contributions): {eff.get(2, 0):.0%} at 2 "
+        f"devices — the BASELINE '>=80% to 2 hosts' proxy — then "
+        f"{eff.get(4, 0):.0%} at 4, {eff.get(8, 0):.0%} at 8; the falloff "
+        f"is the replicated n0xn0 first-stage corner + mC-row Woodbury "
+        f"capacitance, whose cost is S-independent and so grows RELATIVELY "
+        f"as the sharded per-scenario Cholesky work per device shrinks "
+        f"8-fold. The weak table (per-device scenarios fixed at {S0}) is "
+        f"capacity-limited here — total work grows 8x on the same "
+        f"{os.cpu_count()} physical cores, so its per-scenario time rise "
+        f"(efficiency {w8:.0%} at 8 devices) measures core saturation, not "
+        f"partition cost; it is included to show no superlinear-in-S term "
+        f"(the Woodbury capacitance stays {SFIX}-independent). On real "
+        f"multi-host v5e the overhead table is the bound and the psum "
+        f"terms ride ICI."
     )
     n = os.environ.get("ROUND", "04")
     path = os.path.join(ROOT, f"SCALING_r{n}.json")
