@@ -90,6 +90,15 @@ class IPMOptions:
     # mesh for the scenario-sharded schur backend (axis name "scen")
     mesh: Optional[object] = None
     verbose: bool = False
+    # chunked dispatch of the device IPM loop (madipm_device): bound each
+    # device dispatch to ~this wall time — TPU runtimes kill dispatches
+    # that run too long (this machine's axon worker: hard ~60s watchdog,
+    # measured). inf = single-dispatch. chunk_stop is a traced scalar, so
+    # neither option ever recompiles the loop.
+    device_dispatch_budget_s: float = 25.0
+    # iterations per dispatch; 0 = adapt to the budget (start at 4, grow
+    # up to 8x per dispatch from the measured per-iteration rate)
+    device_chunk_iters: int = 0
 
 
 @dataclass

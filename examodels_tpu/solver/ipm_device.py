@@ -211,6 +211,7 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     P = _pack_options(opts, dtype, delta_c_min=delta_c_min,
                       theta_max=theta_max, theta_min=theta_min,
                       mu_floor=mu_floor)
+    st = _init_state(v, y, zl, zu, theta_p, P, dtype)
     if cached is not None:
         solve_loop = cached["loop"]
         loop_compile_s = 0.0  # in-process cache hit: no compile paid
@@ -222,13 +223,45 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         # fast executable deserialization; cold it is the dominant cost.
         run_fn = _build_loop(F, kkt, dtype, n, m, n_bound)
         tc = time.time()
-        solve_loop = run_fn.lower(v, y, zl, zu, theta_p, P).compile()
+        solve_loop = run_fn.lower(st, P).compile()
         loop_compile_s = time.time() - tc
         cache[struct_key] = dict(
             structure=structure, kkt=kkt, F=F, loop=solve_loop
         )
-    out = solve_loop(v, y, zl, zu, theta_p, P)
-    out = jax.device_get(out)
+
+    # ---- chunked dispatch ---------------------------------------------
+    # The while_loop runs at most (chunk_stop - it) iterations per device
+    # dispatch; the host re-dispatches from the carried state until the
+    # loop terminates. Rationale: a single dispatch exceeding ~60s kills
+    # this machine's TPU worker outright ("kernel fault" — measured with a
+    # trivial matmul fori_loop: 42s survives, 60s crashes), and any
+    # production runtime has similar watchdogs. chunk_stop is a traced
+    # scalar in P, so chunk-size changes NEVER recompile; the only
+    # per-chunk cost is one scalar readback (~ms) against a multi-second
+    # dispatch. device_dispatch_budget_s=inf restores one-shot dispatch.
+    budget = opts.device_dispatch_budget_s
+    chunk = opts.device_chunk_iters
+    if chunk <= 0:
+        chunk = opts.max_iter if not np.isfinite(budget) else 4
+    n_dispatch = 0
+    while True:
+        stop = opts.max_iter if not np.isfinite(budget) else \
+            min(int(st["it"]) + chunk, opts.max_iter)
+        P["chunk_stop"] = jnp.asarray(stop, jnp.int32)
+        td = time.time()
+        st = solve_loop(st, P)
+        status_i, it_i = int(st["status"]), int(st["it"])  # sync + readback
+        wall_d = time.time() - td
+        n_dispatch += 1
+        if status_i != _RUNNING or it_i >= opts.max_iter:
+            break
+        if opts.device_chunk_iters <= 0 and np.isfinite(budget):
+            # adaptive: aim each dispatch at ~budget seconds, growing at
+            # most 8x per step (first chunks are deliberately small so a
+            # heavy early iteration cannot blow past the watchdog)
+            per_it = max(wall_d / chunk, 1e-4)
+            chunk = int(max(1, min(budget / per_it, chunk * 8)))
+    out = jax.device_get(st)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
     status = _STATUS_NAMES.get(int(out["status"]), "unknown")
 
@@ -247,7 +280,7 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         complementarity=float(out["comp"]),
         wall_time=time.time() - t0,
         mu=float(out["mu"]),
-        detail=dict(loop_compile_s=loop_compile_s),
+        detail=dict(loop_compile_s=loop_compile_s, n_dispatch=n_dispatch),
     )
 
 
@@ -274,7 +307,34 @@ def _pack_options(opts: IPMOptions, dtype, *, delta_c_min, theta_max,
     P["theta_max"] = jnp.asarray(theta_max, dtype)
     P["theta_min"] = jnp.asarray(theta_min, dtype)
     P["mu_floor"] = jnp.asarray(mu_floor, dtype)
+    # absolute iteration index at which the CURRENT dispatch must return
+    # (chunked dispatch, see madipm_device); overwritten per chunk
+    P["chunk_stop"] = jnp.asarray(opts.max_iter, jnp.int32)
     return P
+
+
+def _init_state(v, y, zl, zu, theta_p, P, dtype):
+    """Full solver carry as a host-built pytree: the compiled loop both
+    takes and returns this state, so a solve can span several bounded
+    dispatches (and could be checkpointed/resumed across processes)."""
+    big = jnp.asarray(1e30, dtype)
+    return dict(
+        v=v, y=y, zl=zl, zu=zu,
+        mu=jnp.asarray(P["mu_init"], dtype),
+        tau=jnp.maximum(P["tau_min"], 1.0 - P["mu_init"]).astype(dtype),
+        dw_last=jnp.asarray(0.0, dtype),
+        fails=jnp.asarray(0, jnp.int32),
+        filt_th=jnp.full(_NFILT, big, dtype=dtype),
+        filt_ph=jnp.full(_NFILT, -big, dtype=dtype),
+        nfilt=jnp.asarray(0, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(_RUNNING, jnp.int32),
+        n_acc=jnp.asarray(0, jnp.int32),
+        prim_inf=jnp.asarray(jnp.inf, dtype),
+        dual_inf=jnp.asarray(jnp.inf, dtype),
+        comp=jnp.asarray(jnp.inf, dtype),
+        theta_p=theta_p,
+    )
 
 
 def _build_loop(F, kkt, dtype, n, m, n_bound):
@@ -284,11 +344,13 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
     _pack_options), NOT as a baked Python constant: the compiled
     program depends only on the model structure + KKT backend, so
     tol/mu/iteration-budget changes never retrace or recompile (and
-    the persistent XLA-cache key is option-independent).
+    the persistent XLA-cache key is option-independent). The program
+    maps state -> state and returns as soon as `it` reaches
+    P["chunk_stop"], enabling watchdog-bounded chunked dispatch.
     """
 
     @jax.jit
-    def run(v, y, zl, zu, theta_p, P):
+    def run(st_in, P):
         big = jnp.asarray(1e30, dtype)
 
         def kkt_error_parts(ev, y, zl, zu):
@@ -550,26 +612,9 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
             )
 
         def cond(st):
-            return st["status"] == _RUNNING
+            return (st["status"] == _RUNNING) & (st["it"] < P["chunk_stop"])
 
-        st = dict(
-            v=v, y=y, zl=zl, zu=zu,
-            mu=jnp.asarray(P["mu_init"], dtype),
-            tau=jnp.maximum(P["tau_min"], 1.0 - P["mu_init"]).astype(dtype),
-            dw_last=jnp.asarray(0.0, dtype),
-            fails=jnp.asarray(0, jnp.int32),
-            filt_th=jnp.full(_NFILT, big, dtype=dtype),
-            filt_ph=jnp.full(_NFILT, -big, dtype=dtype),
-            nfilt=jnp.asarray(0, jnp.int32),
-            it=jnp.asarray(0, jnp.int32),
-            status=jnp.asarray(_RUNNING, jnp.int32),
-            n_acc=jnp.asarray(0, jnp.int32),
-            prim_inf=jnp.asarray(jnp.inf, dtype),
-            dual_inf=jnp.asarray(jnp.inf, dtype),
-            comp=jnp.asarray(jnp.inf, dtype),
-            theta_p=theta_p,
-        )
-        return jax.lax.while_loop(cond, body, st)
+        return jax.lax.while_loop(cond, body, st_in)
 
     return run
 

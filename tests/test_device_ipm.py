@@ -23,6 +23,20 @@ class TestDeviceIPM:
             np.asarray(r.x), LUKSAN_VLCEK_10_SOLUTION, atol=1e-6
         )
 
+    def test_chunked_dispatch_matches_single_dispatch(self):
+        # chunked dispatch (watchdog-bounded: 1 iteration per dispatch)
+        # must walk the EXACT same iterate sequence as one-shot dispatch —
+        # the state round-trips through the compiled program unchanged
+        m = camshape_model(30)
+        r1 = madipm_device(m, tol=1e-8, max_iter=100,
+                           device_dispatch_budget_s=float("inf"))
+        assert (r1.detail or {}).get("n_dispatch") == 1
+        r2 = madipm_device(m, tol=1e-8, max_iter=100, device_chunk_iters=1)
+        assert (r2.detail or {}).get("n_dispatch") == r2.iterations
+        assert r1.status == r2.status == "first_order"
+        assert r1.iterations == r2.iterations
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
     def test_matches_host_on_inequalities(self):
         m = camshape_model(30)
         r1 = madipm(m, tol=1e-8, max_iter=100)
