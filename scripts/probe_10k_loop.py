@@ -1,12 +1,14 @@
-"""Probe: which configuration of the 10k-bus device-IPM loop survives on
-the axon TPU tunnel?
+"""Probe: run the device-IPM loop at a given size on the axon TPU.
 
-Observed (2026-08-20): the 10k-bus f32-factor blocktri loop COMPILES
-(~35 min remote, 90 MB executable, persistent-cached) but the TPU worker
-crashes at execution ("kernel fault"), while the same model's standalone
-jit_evals (incl. Pallas gather) and a single blocktri f32 solve both run
-fine. Candidate culprits: the Pallas gather lowered INSIDE the while_loop
-program, or the fused program's VMEM footprint.
+RESOLVED (2026-08-20, see scripts/probe_loop_matrix.py): the "kernel
+fault" worker crashes at 2000/10000-bus were the runtime's per-dispatch
+watchdog — any single dispatch running past ~60s kills the worker
+(measured with a trivial matmul fori_loop: 42s survives, 60s crashes).
+Not the Pallas gather (xla-gather loop crashed identically), not
+blocktri/f32/nesting (every construct passes at small scale). Fixed by
+chunked dispatch in madipm_device (solver/ipm_device.py): bounded
+iterations per dispatch with the full solver state carried across
+dispatches.
 
 Usage:  python scripts/probe_10k_loop.py [nbus] [xla|pallas]
 Runs madipm_device coarse (f32, tol 1e-4, max_iter 60) only, printing

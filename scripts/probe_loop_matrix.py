@@ -1,17 +1,18 @@
-"""Bisect the device-IPM-loop TPU worker crash ("kernel fault").
+"""Bisect harness for the device-IPM-loop TPU worker crash ("kernel
+fault") — RESOLVED 2026-08-20.
 
-Facts so far (2026-08-20, committed .xla_cache):
-  * LV-100, dense f64 loop:                 WORKS (first_order, 7 iters)
-  * AC-OPF 2000/10000, blocktri f32 loop:   CRASHES worker at execution
-      - with the Pallas gather AND with the XLA gather → not the gather
-  * standalone jit evals + standalone blocktri solve: WORK
+Matrix results (all on the axon TPU, committed .xla_cache):
+  * LV-100 dense f64:           OK      * AC-OPF 200 dense f64:     OK
+  * LV-2000 blocktri f64:       OK      * AC-OPF 200 blocktri f64:  OK
+  * LV-2000 blocktri f32:       OK      * AC-OPF 200 blocktri f32:  OK
+  * AC-OPF 2000/10000 blocktri f32: worker crash — with the Pallas
+    gather AND the XLA gather, i.e. not the gather, and (above) not any
+    single construct. Separate probe: a trivial matmul fori_loop dispatch
+    targeted at 240s crashes the worker at exactly 60.0s while 42s
+    survives → per-dispatch WATCHDOG. Fix: chunked dispatch in
+    madipm_device (solver/ipm_device.py).
 
-Axes left: {model: LV vs OPF} x {backend: dense vs blocktri} x
-{factor dtype: f64 vs f32}. Each config pays one remote compile
-(persistent-cached). Usage:
-
-    python scripts/probe_loop_matrix.py lv2000-blocktri-f64
-    python scripts/probe_loop_matrix.py opf200-dense-f64 ...
+Usage:  python scripts/probe_loop_matrix.py lv2000-blocktri-f64 ...
 """
 
 import os
