@@ -63,14 +63,14 @@ SOLVER_TOL = float(os.environ.get("BENCH_SOLVER_TOL", "1e-6"))
 # 10k-bus device loop through the remote-compile tunnel, measured) can never
 # starve the headline derivative metric. With a warm persistent XLA cache
 # the phase finishes well inside the default.
-SOLVER_BUDGET_S = float(os.environ.get("BENCH_SOLVER_BUDGET_S", "1500"))
+SOLVER_BUDGET_S = float(os.environ.get("BENCH_SOLVER_BUDGET_S", "1800"))
 # fallback instance size if the headline size cannot solve inside budget
 # (e.g. cold XLA cache in a fresh environment): a smaller loop program whose
 # cold compile fits comfortably. 0 disables the fallback.
 SOLVER_FALLBACK_NBUS = int(os.environ.get("BENCH_SOLVER_FALLBACK_NBUS", "2000"))
 # seconds held back for the fallback attempt while the headline size runs
 SOLVER_FALLBACK_RESERVE_S = float(
-    os.environ.get("BENCH_SOLVER_FALLBACK_RESERVE_S", "420")
+    os.environ.get("BENCH_SOLVER_FALLBACK_RESERVE_S", "600")
 )
 BASELINE_FILE = os.path.join(ROOT, "bench_baseline.json")
 SOLVER_BASELINE_FILE = os.path.join(ROOT, "bench_solver_baseline.json")
@@ -79,38 +79,34 @@ SOLVER_BASELINE_FILE = os.path.join(ROOT, "bench_solver_baseline.json")
 def bench_solver(model, nbus):
     """Second north-star metric (BASELINE.json): end-to-end IPM on the
     nbus-bus AC-OPF via madipm_hybrid (f32 on-device bulk + f64 host polish)
-    to E0 <= 1e-6. Prints its own JSON line; iters/sec is the on-device
-    f32 loop's WARM rate (a second madipm_device call reuses the cached
-    compiled loop — the zero-retrace discipline — so compile time is
-    excluded, matching how the derivative metric excludes compile).
+    to E0 <= 1e-6. Prints its own JSON line; iters/sec is the device f32
+    loop's pure EXECUTION rate — coarse iterations over the summed dispatch
+    walls (detail["loop_exec_s"]), which excludes compile and pre-loop
+    one-time work exactly like the derivative metric's scan-slope protocol
+    (and needs no second warm solve, halving the phase's budget).
     Returns True iff the solve was healthy and a nonzero rate was recorded."""
     import time as _t
 
     import jax
 
-    from examodels_tpu.solver.ipm_device import madipm_device, madipm_hybrid
+    from examodels_tpu.solver.ipm_device import madipm_hybrid
 
     t0 = _t.time()
     r = madipm_hybrid(model, tol=SOLVER_TOL, switch_tol=1e-4, max_iter=200)
     cold_wall = _t.time() - t0
     det = r.detail or {}
 
-    # warm device-loop rate: same options -> cached compiled loop
-    t0 = _t.time()
-    r2 = madipm_device(
-        model, tol=max(1e-4, SOLVER_TOL), factor_dtype="float32",
-        acceptable_iter=5, acceptable_tol=max(1e-4, SOLVER_TOL) * 10,
-        max_iter=200,
+    coarse_iters = det.get("coarse_iterations", r.iterations)
+    loop_exec_s = det.get("loop_exec_s", -1.0)
+    iters_per_sec = (
+        coarse_iters / loop_exec_s if loop_exec_s and loop_exec_s > 0 else 0.0
     )
-    warm_wall = _t.time() - t0
-    iters_per_sec = r2.iterations / warm_wall if warm_wall > 0 else 0.0
     # first-class compile-time artifact: AOT compile seconds of the device
-    # IPM loop, measured inside madipm_device at cache-miss time (0.0 = the
-    # loop came out of the in-process cache; small = persistent-cache hit)
-    loop_compile_s = det.get("loop_compile_s",
-                             (r2.detail or {}).get("loop_compile_s", -1.0))
+    # IPM loop, measured inside madipm_device at cache-miss time (small =
+    # persistent-cache hit; large = cold remote compile)
+    loop_compile_s = det.get("loop_compile_s", -1.0)
 
-    healthy = bool(r.success and r2.iterations > 0 and iters_per_sec > 0)
+    healthy = bool(r.success and coarse_iters > 0 and iters_per_sec > 0)
     if os.environ.get("BENCH_FORCE_CPU"):
         healthy = False  # plumbing runs must never anchor the TPU baseline
     vs = 1.0
@@ -132,7 +128,8 @@ def bench_solver(model, nbus):
             "loop_compile_s": loop_compile_s,
             "device": str(jax.devices()[0]),
             "recorded": time.strftime("%Y-%m-%d"),
-            "protocol": "madipm_hybrid cold solve + warm device-loop rate",
+            "protocol": "madipm_hybrid cold solve; rate = coarse iters "
+            "/ summed device-loop dispatch walls (compile excluded)",
         }
         with open(SOLVER_BASELINE_FILE, "w") as f:
             json.dump(base, f, indent=1)
@@ -140,8 +137,8 @@ def bench_solver(model, nbus):
     print(
         json.dumps(
             {
-                "metric": f"IPM iters/sec (warm f32 device loop), AC-OPF "
-                f"{nbus}-bus madipm_hybrid to E0<={SOLVER_TOL:g} "
+                "metric": f"IPM iters/sec (f32 device-loop exec rate), "
+                f"AC-OPF {nbus}-bus madipm_hybrid to E0<={SOLVER_TOL:g} "
                 f"(status={r.status}, iters={r.iterations} "
                 f"[coarse={det.get('coarse_iterations')}"
                 f"+polish={det.get('polish_iterations')}], "
@@ -149,9 +146,9 @@ def bench_solver(model, nbus):
                 f"[coarse={det.get('coarse_wall', 0):.0f}s "
                 f"polish={det.get('polish_wall', 0):.0f}s], "
                 f"loop_compile={loop_compile_s:.1f}s, "
+                f"loop_exec={loop_exec_s:.1f}s, "
                 f"prim_inf={r.primal_infeasibility:.1e}, "
-                f"dual_inf={r.dual_infeasibility:.1e}, "
-                f"warm_iters={r2.iterations} in {warm_wall:.1f}s)",
+                f"dual_inf={r.dual_infeasibility:.1e})",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(vs, 3),

@@ -66,15 +66,32 @@ class BlockTriKKT:
 
     def __init__(self, structure: KKTStructure, dtype=jnp.float64,
                  min_block: int = 128, max_block: int = 4096,
-                 factor_dtype=None, ir_rounds: int = 3):
+                 factor_dtype=None, ir_rounds: int = 3,
+                 cg_maxiter: int = 120, cg_accept: float = 1e-8):
         """`factor_dtype` (e.g. jnp.float32) factorizes in lower precision
         on the MXU with Jacobi equilibration, recovering accuracy via
         `ir_rounds` of iterative refinement in `dtype` — the mixed-precision
-        strategy for TPUs whose f64 is emulated (v5e)."""
+        strategy for TPUs whose f64 is emulated (v5e).
+
+        `cg_maxiter`/`cg_accept` bound the mixed-precision PCG recovery:
+        the condensed rhs carries a 1/δc inflation, and the dual step
+        dy = (A·dv − r2)/δc turns any unconverged condensed residual
+        directly into dual infeasibility (measured at 10k-bus AC-OPF,
+        δc=1e-5: a 40-iteration cap left CG at its ~1e-8 acceptance level,
+        dual_inf ~3e4, and the loop stalled in null steps; the error
+        scaled exactly 1/δc across δc sweeps). The cap must be high enough
+        for CG to reach its 1e-13 target at tail conditioning — it exits
+        early when converged, so a generous cap costs nothing on easy
+        systems. `cg_accept` stays at the step-quality level the IPM can
+        absorb; tightening it converts borderline-but-usable steps into
+        δw-inflation rejections (measured: camshape-60 f32 stalls with
+        1e-11 where 1e-8 converges)."""
         self.s = structure
         self.dtype = dtype
         self.factor_dtype = factor_dtype or dtype
         self.ir_rounds = ir_rounds if factor_dtype is None else max(ir_rounds, 6)
+        self.cg_maxiter = int(cg_maxiter)
+        self.cg_accept = float(cg_accept)
         # Cholesky success of the condensed matrix is an exact inertia
         # certificate (see DenseKKT.certifies_inertia) — but ONLY when the
         # factorization runs in the working precision. An f32 factor can
@@ -235,7 +252,22 @@ class BlockTriKKT:
 
     def _equilibrate(self, D, E):
         """Jacobi scaling s = 1/√diag(K); returns scaled (D, E, s) with
-        blocks cast to factor_dtype."""
+        blocks cast to factor_dtype.
+
+        Mixed precision adds a STATIC-PIVOTING shift ε·I (ε = 256·eps of
+        the factor dtype ≈ 3e-5 for f32) to the scaled diagonal of the
+        factor input only: a long Schur-complement Cholesky chain in f32
+        loses positive-definiteness to roundoff once cond(K̂) approaches
+        1/eps_f32, NaNs the whole factor, and sends the IPM's δw loop into
+        runaway inflation — after which dv≈0 and the condensed dual
+        recovery dy=(A·dv−r2)/δc returns the poisoned step dy≈−r2/δc
+        (measured at 10k-bus AC-OPF: dual_inf ≈ prim_inf/δc = 3e4, scaling
+        exactly 1/δc across δc sweeps, while 2000-bus was unaffected). The
+        shift exists ONLY inside the preconditioner; the f64 PCG corrects
+        the ~3e-5 unit-diagonal bias in a couple of extra iterations, and
+        true indefiniteness is still caught by the IPM's curvature test on
+        the corrected step (this backend does not certify inertia in mixed
+        precision)."""
         b, nb = self.b, self.nb
         diag = jnp.diagonal(D, axis1=1, axis2=2)  # (nb, b)
         s = jax.lax.rsqrt(jnp.maximum(diag, 1e-300))
@@ -244,11 +276,13 @@ class BlockTriKKT:
             Es = E * s[1:, :, None] * s[:-1, None, :]
         else:
             Es = E
-        return (
-            Ds.astype(self.factor_dtype),
-            Es.astype(self.factor_dtype),
-            s,
-        )
+        Ds = Ds.astype(self.factor_dtype)
+        Es = Es.astype(self.factor_dtype)
+        if jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype):
+            shift = 256.0 * float(jnp.finfo(self.factor_dtype).eps)
+            eye = jnp.eye(b, dtype=self.factor_dtype)
+            Ds = Ds + shift * eye
+        return Ds, Es, s
 
     def _chol_blocktri(self, D, E):
         """Block-tridiagonal Cholesky. Returns (Linv, L_sub, ok) where
@@ -407,7 +441,8 @@ class BlockTriKKT:
 
         def pcg_cond(c):
             _, r, _, rz, it_ = c
-            return (jnp.vdot(r, r) > tol2) & (it_ < 40) & jnp.isfinite(rz)
+            return (jnp.vdot(r, r) > tol2) & (it_ < self.cg_maxiter) \
+                & jnp.isfinite(rz)
 
         def pcg_body(c):
             v, r, p, rz, it_ = c
@@ -431,7 +466,7 @@ class BlockTriKKT:
         # a slightly-indefinite matrix that slipped through the f32
         # Cholesky shows up as CG stagnation
         res_ok = jnp.vdot(r_fin, r_fin) <= jnp.maximum(
-            (1e-8) ** 2 * rhs_n2, 1e-24
+            self.cg_accept ** 2 * rhs_n2, 1e-24
         )
         pd_ok = ok & jnp.isfinite(dv).all() & res_ok
         return dv, dy, pd_ok

@@ -79,6 +79,10 @@ class IPMOptions:
     kappa_c: float = 0.25
     factor_dtype: object = None  # e.g. "float32": mixed-precision KKT
     # factorization (MXU) with f64 iterative refinement
+    # mixed-precision PCG recovery bounds (blocktri backend; see
+    # BlockTriKKT.__init__ for the δc-amplification rationale)
+    kkt_cg_maxiter: int = 120
+    kkt_cg_accept: float = 1e-8
     curvature_kappa: float = 1e-11  # dᵀKd ≥ κ·dᵀd requirement
     # dual safeguard / init
     kappa_sigma: float = 1e10
@@ -99,6 +103,12 @@ class IPMOptions:
     # iterations per dispatch; 0 = adapt to the budget (start at 4, grow
     # up to 8x per dispatch from the measured per-iteration rate)
     device_chunk_iters: int = 0
+    # total wall budget for the device loop (checked between chunks): the
+    # solve returns its current state with status "max_wall" when exceeded.
+    # madipm_hybrid uses this to bound the coarse f32 stage — on hard
+    # instances where f32 steps stop paying, handing the current iterate to
+    # the f64 polish beats burning the coarse iteration budget.
+    device_max_wall_s: float = float("inf")
 
 
 @dataclass
@@ -435,7 +445,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         from .blocktri import BlockTriKKT
 
         try:
-            kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
+            kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt,
+                                  cg_maxiter=opts.kkt_cg_maxiter,
+                                  cg_accept=opts.kkt_cg_accept)
         except ValueError:  # bandwidth too large after RCM
             kkt = CGKKT(structure, dtype)
     elif solver_kind == "cg":

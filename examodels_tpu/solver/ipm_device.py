@@ -121,6 +121,8 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         opts.scaling,
         opts.scaling_max_gradient,
         opts.bound_relax_factor,  # baked into F.l/F.u closed over by evals
+        opts.kkt_cg_maxiter,  # baked into the blocktri PCG while_loop
+        opts.kkt_cg_accept,
         _mesh_key(opts.mesh),
     )
     cache = model.__dict__.setdefault("_ipm_device_cache", {})
@@ -149,7 +151,9 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             from .blocktri import BlockTriKKT
 
             try:
-                kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt)
+                kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt,
+                                  cg_maxiter=opts.kkt_cg_maxiter,
+                                  cg_accept=opts.kkt_cg_accept)
             except ValueError:  # bandwidth too large after RCM (same
                 from .kkt import CGKKT  # fallback as madipm, ipm.py:404-407)
 
@@ -244,6 +248,8 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     if chunk <= 0:
         chunk = opts.max_iter if not np.isfinite(budget) else 4
     n_dispatch = 0
+    loop_exec_s = 0.0  # pure dispatch wall (no compile, no pre-loop work)
+    hit_wall = False
     while True:
         stop = opts.max_iter if not np.isfinite(budget) else \
             min(int(st["it"]) + chunk, opts.max_iter)
@@ -252,8 +258,12 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         st = solve_loop(st, P)
         status_i, it_i = int(st["status"]), int(st["it"])  # sync + readback
         wall_d = time.time() - td
+        loop_exec_s += wall_d
         n_dispatch += 1
         if status_i != _RUNNING or it_i >= opts.max_iter:
+            break
+        if loop_exec_s >= opts.device_max_wall_s:
+            hit_wall = True  # return the carried state as-is ("max_wall")
             break
         if opts.device_chunk_iters <= 0 and np.isfinite(budget):
             # adaptive: aim each dispatch at ~budget seconds, growing at
@@ -263,7 +273,10 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             chunk = int(max(1, min(budget / per_it, chunk * 8)))
     out = jax.device_get(st)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
-    status = _STATUS_NAMES.get(int(out["status"]), "unknown")
+    status = (
+        "max_wall" if hit_wall and int(out["status"]) == _RUNNING
+        else _STATUS_NAMES.get(int(out["status"]), "unknown")
+    )
 
     sign = 1.0 if model.minimize else -1.0
     unscale = F.con_scale / F.sigma_f
@@ -280,7 +293,9 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         complementarity=float(out["comp"]),
         wall_time=time.time() - t0,
         mu=float(out["mu"]),
-        detail=dict(loop_compile_s=loop_compile_s, n_dispatch=n_dispatch),
+        detail=dict(loop_compile_s=loop_compile_s, n_dispatch=n_dispatch,
+                    loop_exec_s=loop_exec_s,
+                    dw_last=float(out["dw_last"])),
     )
 
 
@@ -620,12 +635,18 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
 
 
 def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
-                  switch_tol: float = 1e-4, **kwargs) -> IPMResult:
+                  switch_tol: float = 1e-4, switch_wall_s: float = 300.0,
+                  **kwargs) -> IPMResult:
     """TPU-optimal solve strategy: bulk iterations in the on-device loop
     with an f32 KKT factorization (v5e f64 linear algebra is both slow and
     a compile bomb inside while_loop programs), then a host-driven f64
     polish warm-started from the f32 point. The f64 KKT solve compiles as
     its own small jit in seconds and only runs for the last few iterations.
+
+    `switch_wall_s` bounds the coarse stage's device-loop wall: on
+    instances where f32 steps stop paying (conditioning beyond what the
+    mixed-precision factor can deliver), the current iterate goes to the
+    f64 polish instead of burning the coarse iteration budget.
     """
     from .ipm import madipm
 
@@ -643,6 +664,7 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
     coarse.acceptable_tol = max(coarse.acceptable_tol, coarse.tol * 10)
     coarse.acceptable_iter = 5
     coarse.factor_dtype = coarse.factor_dtype or "float32"
+    coarse.device_max_wall_s = min(opts.device_max_wall_s, switch_wall_s)
     r1 = madipm_device(model, coarse, theta=theta)
 
     if opts.tol >= switch_tol and r1.success:
@@ -666,6 +688,7 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
         polish_iterations=r2.iterations,
         polish_wall=time.time() - t_polish,
         loop_compile_s=(r1.detail or {}).get("loop_compile_s", -1.0),
+        loop_exec_s=(r1.detail or {}).get("loop_exec_s", -1.0),
     )
     r2.iterations += r1.iterations
     r2.wall_time = time.time() - t0

@@ -37,6 +37,15 @@ class TestDeviceIPM:
         assert r1.iterations == r2.iterations
         np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
 
+    def test_max_wall_returns_carried_state(self):
+        # a wall budget the first chunk always exceeds: the solve must
+        # return its current (valid, resumable) state as "max_wall", which
+        # madipm_hybrid then hands to the f64 polish
+        r = madipm_device(camshape_model(30), tol=1e-10, max_iter=500,
+                          device_chunk_iters=1, device_max_wall_s=1e-9)
+        assert r.status == "max_wall"
+        assert r.iterations >= 1 and np.all(np.isfinite(np.asarray(r.x)))
+
     def test_matches_host_on_inequalities(self):
         m = camshape_model(30)
         r1 = madipm(m, tol=1e-8, max_iter=100)
