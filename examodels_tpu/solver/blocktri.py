@@ -67,31 +67,52 @@ class BlockTriKKT:
     def __init__(self, structure: KKTStructure, dtype=jnp.float64,
                  min_block: int = 128, max_block: int = 4096,
                  factor_dtype=None, ir_rounds: int = 3,
-                 cg_maxiter: int = 120, cg_accept: float = 1e-8):
+                 cg_maxiter: int = 120, cg_accept: float = 1e-8,
+                 hykkt_frac: float = 0.5, cg_inner_maxiter: int = 32,
+                 hykkt_inner_tol: float = 1e-11):
         """`factor_dtype` (e.g. jnp.float32) factorizes in lower precision
         on the MXU with Jacobi equilibration, recovering accuracy via
         `ir_rounds` of iterative refinement in `dtype` — the mixed-precision
         strategy for TPUs whose f64 is emulated (v5e).
 
-        `cg_maxiter`/`cg_accept` bound the mixed-precision PCG recovery:
-        the condensed rhs carries a 1/δc inflation, and the dual step
-        dy = (A·dv − r2)/δc turns any unconverged condensed residual
-        directly into dual infeasibility (measured at 10k-bus AC-OPF,
-        δc=1e-5: a 40-iteration cap left CG at its ~1e-8 acceptance level,
-        dual_inf ~3e4, and the loop stalled in null steps; the error
-        scaled exactly 1/δc across δc sweeps). The cap must be high enough
-        for CG to reach its 1e-13 target at tail conditioning — it exits
-        early when converged, so a generous cap costs nothing on easy
-        systems. `cg_accept` stays at the step-quality level the IPM can
-        absorb; tightening it converts borderline-but-usable steps into
+        `cg_maxiter`/`cg_accept` bound the mixed-precision Krylov recovery.
+        `cg_accept` stays at the step-quality level the IPM can absorb;
+        tightening it converts borderline-but-usable steps into
         δw-inflation rejections (measured: camshape-60 f32 stalls with
-        1e-11 where 1e-8 converges)."""
+        1e-11 where 1e-8 converges).
+
+        `hykkt_frac` ∈ (0, 1) selects the mixed-precision dual recovery:
+        Golub–Greif/HyKKT. The condensed recovery dy = (A·dv − r2)/δc is a
+        measured poison path: any condensed-solve residual lands in the
+        duals amplified by 1/δc (10k-bus AC-OPF, δc=1e-5: dual_inf ~3e4 =
+        prim_inf/δc, scaling exactly 1/δc across δc sweeps, while 2000-bus
+        converged — the round-4 open problem). HyKKT instead augments with
+        γ = hykkt_frac/δc < 1/δc, factors  H_γ = W + Σ + δw + γAᵀA  (same
+        block-tri structure; only the AᵀA coefficient changes), and solves
+
+            M dy = A H_γ⁻¹ (r1 + γAᵀr2) − r2,   M = ω·A H_γ⁻¹ Aᵀ + δc I,
+            dv   = H_γ⁻¹ (r1 + γAᵀr2 − ω Aᵀ dy),          ω = 1 − γδc
+
+        by CG on M. Since H_γ ⪰ γAᵀA, the Schur operator satisfies
+        S = A H_γ⁻¹ Aᵀ ⪯ (1/γ) I, so λ(M) ∈ [δc, δc(1 + ω/hykkt_frac)]:
+        cond(M) ≤ 1 + ω/κ (= 2 at κ = 0.5) INDEPENDENT of the problem —
+        CG converges in a handful of iterations and no quantity is ever
+        divided by δc. Each M·p application solves with H_γ via a short
+        f64 PCG preconditioned by the f32 factor (`cg_inner_maxiter` cap).
+        hykkt_frac=0 restores the legacy condensed recovery (kept for
+        A/B measurement)."""
         self.s = structure
         self.dtype = dtype
         self.factor_dtype = factor_dtype or dtype
         self.ir_rounds = ir_rounds if factor_dtype is None else max(ir_rounds, 6)
         self.cg_maxiter = int(cg_maxiter)
         self.cg_accept = float(cg_accept)
+        self.hykkt_frac = float(hykkt_frac)
+        self.cg_inner_maxiter = int(cg_inner_maxiter)
+        self.hykkt_inner_tol = float(hykkt_inner_tol)
+        # when True, solve() returns (dv, dy, pd_ok, n_backsolves) so the
+        # device loop / profiler can account Krylov work (trace-time static)
+        self.report_stats = False
         # Cholesky success of the condensed matrix is an exact inertia
         # certificate (see DenseKKT.certifies_inertia) — but ONLY when the
         # factorization runs in the working precision. An f32 factor can
@@ -219,13 +240,15 @@ class BlockTriKKT:
             [jvals, -jnp.ones(s.ns, dtype=self.dtype)]
         ) if s.ns else jvals
 
-    def _assemble(self, hvals, jvals, sigma, dw, dc):
-        """Scatter all value sources into (D, E) block storage."""
+    def _assemble(self, hvals, jvals, sigma, dw, ata_coeff):
+        """Scatter all value sources into (D, E) block storage for
+        K = W + Σ + δw I + ata_coeff·AᵀA  (ata_coeff = 1/δc condensed,
+        γ = hykkt_frac/δc for the HyKKT factor)."""
         b, nb = self.b, self.nb
         avals = self._avals(jvals)
         pair_vals = (
             jnp.asarray(self._pair_coeff, dtype=self.dtype)
-            * avals[self._pair_k1] * avals[self._pair_k2] / dc
+            * avals[self._pair_k1] * avals[self._pair_k2] * ata_coeff
         )
         buf = jnp.zeros(self._store, dtype=self.dtype)
         buf = buf.at[self._hess_dest].add(hvals)
@@ -378,8 +401,12 @@ class BlockTriKKT:
     def _solve_impl(self, hvals, jvals, sigma, dw, dc, r1, r2):
         s = self.s
         n = s.n
+        mixed = jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype)
+        hykkt = mixed and self.hykkt_frac > 0.0
         avals = self._avals(jvals)
-        D, E = self._assemble(hvals, jvals, sigma, dw, dc)
+        # HyKKT factors H_γ (γ = κ/δc); condensed paths factor K (γ = 1/δc)
+        gamma = (self.hykkt_frac / dc) if hykkt else (1.0 / dc)
+        D, E = self._assemble(hvals, jvals, sigma, dw, gamma)
         Df, Ef, sdiag = self._equilibrate(D, E)
         Ld, Ls, ok = self._chol_blocktri(Df, Ef)
         s_flat = sdiag.reshape(-1)
@@ -395,81 +422,159 @@ class BlockTriKKT:
             x_p = self._solve_blocktri(Ld, Ls, rhs_p * s_flat)
             return (x_p.astype(self.dtype) * s_flat)[invp]
 
-        rhs = r1 + self._At_mv(avals, r2) / dc
-        dv = chol_solve(rhs)
-        dy = (self._A_mv(avals, dv) - r2) / dc
-
-        # iterative refinement on the regularized augmented system
-        def residuals(dv, dy):
-            Wdv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
-                self._W_mv(hvals, dv[: s.nx])
+        def K_mv(v):
+            # f64 mat-vec of the FACTORED matrix (H_γ or K): gathers +
+            # segment-sums, exact on TPU
+            Wv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
+                self._W_mv(hvals, v[: s.nx])
             )
-            e1 = r1 - (Wdv + (sigma + dw) * dv + self._At_mv(avals, dy))
-            e2 = r2 - (self._A_mv(avals, dv) - dc * dy)
-            return e1, e2
+            return Wv + (sigma + dw) * v + gamma * self._At_mv(
+                avals, self._A_mv(avals, v)
+            )
 
-        def refine(carry, _):
-            dv, dy = carry
-            e1, e2 = residuals(dv, dy)
-            cv = chol_solve(e1 + self._At_mv(avals, e2) / dc)
-            cy = (self._A_mv(avals, cv) - e2) / dc
-            return (dv + cv, dy + cy), None
-
-        mixed = jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype)
         if not mixed:
+            rhs = r1 + self._At_mv(avals, r2) / dc
+            dv = chol_solve(rhs)
+            dy = (self._A_mv(avals, dv) - r2) / dc
+
+            # iterative refinement on the regularized augmented system
+            def refine(carry, _):
+                dv, dy = carry
+                Wdv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
+                    self._W_mv(hvals, dv[: s.nx])
+                )
+                e1 = r1 - (Wdv + (sigma + dw) * dv + self._At_mv(avals, dy))
+                e2 = r2 - (self._A_mv(avals, dv) - dc * dy)
+                cv = chol_solve(e1 + self._At_mv(avals, e2) / dc)
+                cy = (self._A_mv(avals, cv) - e2) / dc
+                return (dv + cv, dy + cy), None
+
             (dv, dy), _ = jax.lax.scan(
                 refine, (dv, dy), None, length=self.ir_rounds
             )
-            return dv, dy, ok & jnp.isfinite(dv).all()
+            return dv, dy, ok & jnp.isfinite(dv).all(), jnp.asarray(
+                self.ir_rounds, jnp.int32
+            )
 
         # Mixed precision: stationary refinement contracts at rate
         # eps_f32 * cond(K) — hopeless at IPM-tail conditioning. Krylov is
         # forgiving of a loose preconditioner (rate ~ sqrt(cond(M^-1 K))),
-        # so run preconditioned CG on the condensed SPD operator with the
-        # f32 block factor as M^-1; all vectors and mat-vecs (segment-sums,
-        # exact on TPU) stay f64.
-        def K_mv(v):
-            Wv = jnp.zeros(n, dtype=self.dtype).at[: s.nx].set(
-                self._W_mv(hvals, v[: s.nx])
+        # so all recoveries below run f64 PCG with the f32 block factor as
+        # the preconditioner; all vectors and mat-vecs stay f64.
+        def pcg(b, x0, maxiter, tol_rel, accept_rel=None):
+            """Preconditioned CG on the factored matrix: solve K_mv(x)=b.
+            Returns (x, converged, iters); converged tests `accept_rel`
+            (default cg_accept), looser than the tol_rel target since CG
+            exits early once tol_rel is met."""
+            b_n2 = jnp.vdot(b, b)
+            tol2 = tol_rel ** 2 * b_n2
+            accept_rel = self.cg_accept if accept_rel is None else accept_rel
+
+            def cond_f(c):
+                _, r, _, rz, it_ = c
+                return (jnp.vdot(r, r) > tol2) & (it_ < maxiter) \
+                    & jnp.isfinite(rz)
+
+            def body_f(c):
+                x, r, p, rz, it_ = c
+                Kp = K_mv(p)
+                alpha = rz / jnp.vdot(p, Kp)
+                x = x + alpha * p
+                r = r - alpha * Kp
+                z = chol_solve(r)
+                rz_new = jnp.vdot(r, z)
+                p = z + (rz_new / rz) * p
+                return (x, r, p, rz_new, it_ + 1)
+
+            r0 = b - K_mv(x0)
+            z0 = chol_solve(r0)
+            x, r_f, _, _, its = jax.lax.while_loop(
+                cond_f, body_f,
+                (x0, r0, z0, jnp.vdot(r0, z0), jnp.asarray(0, jnp.int32)),
             )
-            return Wv + (sigma + dw) * v + self._At_mv(
-                avals, self._A_mv(avals, v)
-            ) / dc
+            conv = jnp.vdot(r_f, r_f) <= jnp.maximum(
+                accept_rel ** 2 * b_n2, 1e-24
+            )
+            return x, conv, its
 
-        rhs_n2 = jnp.vdot(rhs, rhs)
-        tol2 = (1e-13) ** 2 * rhs_n2
+        if not hykkt:
+            # legacy condensed recovery (hykkt_frac=0): kept for A/B runs.
+            # dy = (A·dv − r2)/δc amplifies the condensed residual by 1/δc.
+            rhs = r1 + self._At_mv(avals, r2) / dc
+            dv0 = chol_solve(rhs)
+            dv, res_ok, its = pcg(rhs, dv0, self.cg_maxiter, 1e-13)
+            dy = (self._A_mv(avals, dv) - r2) / dc
+            pd_ok = ok & jnp.isfinite(dv).all() & res_ok
+            return dv, dy, pd_ok, its
 
-        def pcg_cond(c):
-            _, r, _, rz, it_ = c
-            return (jnp.vdot(r, r) > tol2) & (it_ < self.cg_maxiter) \
+        # ---- HyKKT / Golub-Greif dual recovery ---------------------------
+        # (see __init__ docstring for the operator algebra and conditioning)
+        # Acceptance is 100x looser than the condensed path's cg_accept:
+        # nothing here is divided by δc, so a 1e-6-relative Krylov residual
+        # yields a 1e-6-relative step — absorbable by the line search —
+        # where the condensed recovery needed 1e-8 BEFORE its 1/δc
+        # amplification. This is the robustness payoff at tail
+        # conditioning: when the f32-factor preconditioner degrades to
+        # where PCG reaches 1e-8 but not 1e-13, the condensed duals are
+        # garbage (1e-8/δc = 1e-3 relative) while HyKKT still delivers
+        # clean steps instead of tripping the δw-inflation runaway.
+        accept = self.cg_accept * 100.0
+        omega = 1.0 - self.hykkt_frac
+        rhs1 = r1 + gamma * self._At_mv(avals, r2)
+
+        def Hinv(b, x0, maxiter):
+            return pcg(b, x0, maxiter, self.hykkt_inner_tol,
+                       accept_rel=accept)
+
+        t, t_ok, t_its = Hinv(rhs1, chol_solve(rhs1), self.cg_maxiter)
+        b_dual = self._A_mv(avals, t) - r2
+        bd_n2 = jnp.vdot(b_dual, b_dual)
+        # cond(M) ≤ 1 + ω/κ ⇒ CG reaches 1e-10 relative in O(10) iters;
+        # the cap only guards pathological inexact-matvec noise
+        outer_max = jnp.asarray(min(self.cg_maxiter, 40), jnp.int32)
+        tol2_out = 1e-10 ** 2 * bd_n2
+
+        def M_apply(p):
+            """ω·A H_γ⁻¹ Aᵀ p + δc p, with the H_γ solve via short inner
+            PCG. Returns (Mp, w = H_γ⁻¹Aᵀp, its) — w is reused to build dv
+            incrementally so no final H_γ solve is needed."""
+            Atp = self._At_mv(avals, p)
+            w, _, w_its = Hinv(Atp, chol_solve(Atp), self.cg_inner_maxiter)
+            return omega * self._A_mv(avals, w) + dc * p, w, w_its
+
+        def cg_cond(c):
+            _, _, r, _, rz, it_, its = c
+            return (jnp.vdot(r, r) > tol2_out) & (it_ < outer_max) \
                 & jnp.isfinite(rz)
 
-        def pcg_body(c):
-            v, r, p, rz, it_ = c
-            Kp = K_mv(p)
-            alpha = rz / jnp.vdot(p, Kp)
-            v = v + alpha * p
-            r = r - alpha * Kp
-            z = chol_solve(r)
-            rz_new = jnp.vdot(r, z)
-            p = z + (rz_new / rz) * p
-            return (v, r, p, rz_new, it_ + 1)
+        def cg_body(c):
+            dy, dvc, r, p, rz, it_, its = c
+            Mp, w, w_its = M_apply(p)
+            alpha = rz / jnp.vdot(p, Mp)
+            dy = dy + alpha * p
+            dvc = dvc + alpha * w  # accumulates H_γ⁻¹Aᵀ dy
+            r = r - alpha * Mp
+            rz_new = jnp.vdot(r, r)  # plain CG: M is near-identity scaled
+            p = r + (rz_new / rz) * p
+            return (dy, dvc, r, p, rz_new, it_ + 1, its + w_its)
 
-        r0 = rhs - K_mv(dv)
-        z0 = chol_solve(r0)
-        dv, r_fin, _, _, _ = jax.lax.while_loop(
-            pcg_cond, pcg_body,
-            (dv, r0, z0, jnp.vdot(r0, z0), jnp.asarray(0, jnp.int32)),
+        dy0 = jnp.zeros(s.m, dtype=self.dtype)
+        dvc0 = jnp.zeros(n, dtype=self.dtype)
+        rz0 = bd_n2
+        dy, dvc, r_out, _, _, outer_its, inner_its = jax.lax.while_loop(
+            cg_cond, cg_body,
+            (dy0, dvc0, b_dual, b_dual, rz0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32)),
         )
-        dy = (self._A_mv(avals, dv) - r2) / dc
-        # certificate: factor succeeded AND the Krylov solve converged —
-        # a slightly-indefinite matrix that slipped through the f32
-        # Cholesky shows up as CG stagnation
-        res_ok = jnp.vdot(r_fin, r_fin) <= jnp.maximum(
-            self.cg_accept ** 2 * rhs_n2, 1e-24
+        dual_ok = jnp.vdot(r_out, r_out) <= jnp.maximum(
+            accept ** 2 * bd_n2, 1e-24
         )
-        pd_ok = ok & jnp.isfinite(dv).all() & res_ok
-        return dv, dy, pd_ok
+        # dv = H_γ⁻¹(rhs1 − ωAᵀdy) = t − ω·(accumulated H_γ⁻¹Aᵀdy)
+        dv = t - omega * dvc
+        pd_ok = ok & jnp.isfinite(dv).all() & jnp.isfinite(dy).all() \
+            & t_ok & dual_ok
+        return dv, dy, pd_ok, t_its + inner_its + outer_its
 
     def solve(self, hvals, jvals, sigma, dw, dc, r1, r2):
-        return self._jit_solve(hvals, jvals, sigma, dw, dc, r1, r2)
+        out = self._jit_solve(hvals, jvals, sigma, dw, dc, r1, r2)
+        return out if self.report_stats else out[:3]

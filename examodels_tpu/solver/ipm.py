@@ -79,10 +79,16 @@ class IPMOptions:
     kappa_c: float = 0.25
     factor_dtype: object = None  # e.g. "float32": mixed-precision KKT
     # factorization (MXU) with f64 iterative refinement
-    # mixed-precision PCG recovery bounds (blocktri backend; see
+    # mixed-precision Krylov recovery bounds (blocktri backend; see
     # BlockTriKKT.__init__ for the δc-amplification rationale)
     kkt_cg_maxiter: int = 120
     kkt_cg_accept: float = 1e-8
+    # HyKKT/Golub-Greif dual recovery for the mixed-precision blocktri
+    # backend: γ = frac/δc (0 disables → legacy condensed dy, the measured
+    # 1/δc dual-poison path; see BlockTriKKT.__init__)
+    kkt_hykkt_frac: float = 0.5
+    # inner-PCG cap for each H_γ⁻¹ application inside the HyKKT dual CG
+    kkt_cg_inner_maxiter: int = 32
     curvature_kappa: float = 1e-11  # dᵀKd ≥ κ·dᵀd requirement
     # dual safeguard / init
     kappa_sigma: float = 1e10
@@ -103,11 +109,14 @@ class IPMOptions:
     # iterations per dispatch; 0 = adapt to the budget (start at 4, grow
     # up to 8x per dispatch from the measured per-iteration rate)
     device_chunk_iters: int = 0
-    # total wall budget for the device loop (checked between chunks): the
-    # solve returns its current state with status "max_wall" when exceeded.
-    # madipm_hybrid uses this to bound the coarse f32 stage — on hard
-    # instances where f32 steps stop paying, handing the current iterate to
-    # the f64 polish beats burning the coarse iteration budget.
+    # total wall budget for the device loop, checked BETWEEN chunks only
+    # (granularity = one dispatch, i.e. up to ~device_dispatch_budget_s of
+    # overrun past this value — a caller pairing a tight wall with a large
+    # dispatch budget gets the coarser of the two). The solve returns its
+    # current state with status "max_wall" when exceeded. madipm_hybrid
+    # uses this to bound the coarse f32 stage — on hard instances where f32
+    # steps stop paying, handing the current iterate to the f64 polish
+    # beats burning the coarse iteration budget.
     device_max_wall_s: float = float("inf")
 
 
@@ -447,7 +456,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
         try:
             kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt,
                                   cg_maxiter=opts.kkt_cg_maxiter,
-                                  cg_accept=opts.kkt_cg_accept)
+                                  cg_accept=opts.kkt_cg_accept,
+                                  hykkt_frac=opts.kkt_hykkt_frac,
+                                  cg_inner_maxiter=opts.kkt_cg_inner_maxiter)
         except ValueError:  # bandwidth too large after RCM
             kkt = CGKKT(structure, dtype)
     elif solver_kind == "cg":

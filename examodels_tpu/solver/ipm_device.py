@@ -123,6 +123,8 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         opts.bound_relax_factor,  # baked into F.l/F.u closed over by evals
         opts.kkt_cg_maxiter,  # baked into the blocktri PCG while_loop
         opts.kkt_cg_accept,
+        opts.kkt_hykkt_frac,  # selects the mixed-path dual recovery program
+        opts.kkt_cg_inner_maxiter,
         _mesh_key(opts.mesh),
     )
     cache = model.__dict__.setdefault("_ipm_device_cache", {})
@@ -153,7 +155,9 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             try:
                 kkt = BlockTriKKT(structure, dtype, factor_dtype=fdt,
                                   cg_maxiter=opts.kkt_cg_maxiter,
-                                  cg_accept=opts.kkt_cg_accept)
+                                  cg_accept=opts.kkt_cg_accept,
+                                  hykkt_frac=opts.kkt_hykkt_frac,
+                                  cg_inner_maxiter=opts.kkt_cg_inner_maxiter)
             except ValueError:  # bandwidth too large after RCM (same
                 from .kkt import CGKKT  # fallback as madipm, ipm.py:404-407)
 
@@ -164,6 +168,11 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             kkt = CGKKT(structure, dtype)
         else:
             kkt = DenseKKT(structure, dtype)
+        if hasattr(kkt, "report_stats"):
+            # device loop accounts Krylov work (backsolve counts) in its
+            # carried state — the per-iteration cost breakdown the bench
+            # and profiler report
+            kkt.report_stats = True
         F = _Funcs(model, structure, dtype, opts)
     theta_p = model.theta if theta is None else jnp.asarray(theta, dtype=dtype)
 
@@ -196,13 +205,14 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     y = jnp.zeros(m, dtype=dtype)
     if m:
         ev0 = F.evals(v, y, zl, zu, opts.mu_init, theta_p)
-        _, y_ls, ok_ls = kkt.solve(
+        out_ls = kkt.solve(
             jnp.zeros_like(ev0["hvals"]), ev0["jvals"],
             jnp.ones(n, dtype=dtype), jnp.zeros(n, dtype=dtype),
             jnp.asarray(1.0, dtype=dtype),
             -(ev0["g"] - jnp.where(F.has_l, zl, 0.0) + jnp.where(F.has_u, zu, 0.0)),
             jnp.zeros(m, dtype=dtype),
         )
+        y_ls, ok_ls = out_ls[1], out_ls[2]
         if bool(ok_ls) and float(jnp.max(jnp.abs(y_ls), initial=0.0)) <= opts.y_init_max:
             y = y_ls
 
@@ -245,13 +255,17 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
     # dispatch. device_dispatch_budget_s=inf restores one-shot dispatch.
     budget = opts.device_dispatch_budget_s
     chunk = opts.device_chunk_iters
+    one_shot = chunk <= 0 and not np.isfinite(budget)
     if chunk <= 0:
-        chunk = opts.max_iter if not np.isfinite(budget) else 4
+        chunk = opts.max_iter if one_shot else 4
     n_dispatch = 0
     loop_exec_s = 0.0  # pure dispatch wall (no compile, no pre-loop work)
+    per_it_max = 0.0  # worst observed per-iteration wall across chunks
     hit_wall = False
     while True:
-        stop = opts.max_iter if not np.isfinite(budget) else \
+        # honor an explicit positive device_chunk_iters even with an inf
+        # budget (the two knobs are documented as independent; advisor r4)
+        stop = opts.max_iter if one_shot else \
             min(int(st["it"]) + chunk, opts.max_iter)
         P["chunk_stop"] = jnp.asarray(stop, jnp.int32)
         td = time.time()
@@ -266,11 +280,14 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
             hit_wall = True  # return the carried state as-is ("max_wall")
             break
         if opts.device_chunk_iters <= 0 and np.isfinite(budget):
-            # adaptive: aim each dispatch at ~budget seconds, growing at
-            # most 8x per step (first chunks are deliberately small so a
-            # heavy early iteration cannot blow past the watchdog)
-            per_it = max(wall_d / chunk, 1e-4)
-            chunk = int(max(1, min(budget / per_it, chunk * 8)))
+            # adaptive: aim each dispatch at ~budget seconds. Plan from the
+            # MAX observed per-iteration wall, not the latest average —
+            # per-iteration cost is non-stationary (tail-conditioning
+            # Krylov iterations cost multiples of early ones) and a chunk
+            # planned from a cheap phase can overrun the ~60s watchdog
+            # (advisor r4). Growth stays capped at 8x per step.
+            per_it_max = max(per_it_max, wall_d / chunk, 1e-4)
+            chunk = int(max(1, min(budget / per_it_max, chunk * 8)))
     out = jax.device_get(st)
     v, y, zl, zu = (jnp.asarray(out[k]) for k in ("v", "y", "zl", "zu"))
     status = (
@@ -295,7 +312,9 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         mu=float(out["mu"]),
         detail=dict(loop_compile_s=loop_compile_s, n_dispatch=n_dispatch,
                     loop_exec_s=loop_exec_s,
-                    dw_last=float(out["dw_last"])),
+                    dw_last=float(out["dw_last"]),
+                    kkt_trips=int(out["kkt_trips"]),
+                    kkt_backsolves=int(out["kkt_backsolves"])),
     )
 
 
@@ -349,6 +368,10 @@ def _init_state(v, y, zl, zu, theta_p, P, dtype):
         dual_inf=jnp.asarray(jnp.inf, dtype),
         comp=jnp.asarray(jnp.inf, dtype),
         theta_p=theta_p,
+        # Krylov-work accounting: total δw-loop KKT attempts and total
+        # backsolves (inner-PCG + outer-CG iterations) across the solve
+        kkt_trips=jnp.asarray(0, jnp.int32),
+        kkt_backsolves=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -450,16 +473,21 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
                 jnp.maximum(P["delta_w_min"], P["kappa_w_minus"] * st["dw_last"]),
             )
 
+            report_stats = getattr(kkt, "report_stats", False)
+
             def kkt_cond(c):
-                dw, dv, dy, ok, trips = c
+                dw, dv, dy, ok, trips, bs = c
                 return (~ok) & (trips < 40)
 
             def kkt_body(c):
-                dw, dv, dy, ok, trips = c
-                dv2, dy2, pd_ok = kkt.solve(
+                dw, dv, dy, ok, trips, bs = c
+                out = kkt.solve(
                     ev["hvals"], ev["jvals"], ev["sigma"],
                     jnp.full(n, dw, dtype=dtype), dc, ev["r1"], -ev["r"],
                 )
+                dv2, dy2, pd_ok = out[0], out[1], out[2]
+                if report_stats:
+                    bs = bs + out[3]
                 good = pd_ok & jnp.isfinite(dv2).all()
                 if not getattr(kkt, "certifies_inertia", False):
                     # no SPD certificate (CG / low-precision factor): keep the
@@ -473,13 +501,15 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
                     good, dw, jnp.where(dw == 0.0, trial_w, dw * P["kappa_w_plus"])
                 )
                 return (dw_next, jnp.where(good, dv2, dv), jnp.where(good, dy2, dy),
-                        good, trips + 1)
+                        good, trips + 1, bs)
 
             dw0 = jnp.asarray(0.0, dtype)
             dv0 = jnp.zeros(n, dtype=dtype)
             dy0 = jnp.zeros(m, dtype=dtype)
-            dw, dv, dy, kkt_ok, _ = jax.lax.while_loop(
-                kkt_cond, kkt_body, (dw0, dv0, dy0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            dw, dv, dy, kkt_ok, kkt_trips, kkt_bs = jax.lax.while_loop(
+                kkt_cond, kkt_body,
+                (dw0, dv0, dy0, jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
             )
             dw_last = jnp.where(dw > 0, dw, st["dw_last"])
 
@@ -624,6 +654,8 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
                 it=it, status=status, n_acc=n_acc,
                 prim_inf=prim_inf, dual_inf=dual_inf, comp=comp00,
                 theta_p=st["theta_p"],
+                kkt_trips=st["kkt_trips"] + kkt_trips,
+                kkt_backsolves=st["kkt_backsolves"] + kkt_bs,
             )
 
         def cond(st):
@@ -689,6 +721,8 @@ def madipm_hybrid(model, options: Optional[IPMOptions] = None, *, theta=None,
         polish_wall=time.time() - t_polish,
         loop_compile_s=(r1.detail or {}).get("loop_compile_s", -1.0),
         loop_exec_s=(r1.detail or {}).get("loop_exec_s", -1.0),
+        kkt_trips=(r1.detail or {}).get("kkt_trips", -1),
+        kkt_backsolves=(r1.detail or {}).get("kkt_backsolves", -1),
     )
     r2.iterations += r1.iterations
     r2.wall_time = time.time() - t0
