@@ -273,6 +273,7 @@ class ScenarioSchurKKT:
             a, NamedSharding(self.mesh, spec)
         )
 
+
     # ------------------------------------------------------------------
     def _solve_impl(self, hvals, jvals, sigma, dw, dc, r1, r2):
         S, n0, n_loc, m_loc, mC = (
@@ -329,7 +330,6 @@ class ScenarioSchurKKT:
             + jnp.einsum("smi,smj->sij", A_loc, A_loc) / dc
         )
         B = Bw + jnp.einsum("smi,smj->sij", A_loc, A_fs) / dc
-        G = jnp.einsum("smi,smj->sij", A_fs, A_fs) / dc
 
         L = jnp.linalg.cholesky(D)
         ok_D = jnp.all(jnp.isfinite(L))
@@ -342,24 +342,27 @@ class ScenarioSchurKKT:
                 L, t, left_side=True, lower=True, transpose_a=True
             )
 
-        DinvB = d_solve(B)                               # (S, n_loc, n0)
-        DinvCt = d_solve(jnp.swapaxes(Cs, 1, 2))         # (S, n_loc, mC)
+        # stacked border U = [B | Csᵀ]: one batched triangular solve and
+        # one contraction cover BᵀD⁻¹B, C D⁻¹B and C D⁻¹Cᵀ together
+        U = jnp.concatenate([B, jnp.swapaxes(Cs, 1, 2)], axis=2)
+        DinvU = d_solve(U)                               # (S, n_loc, n0+mC)
+        DinvB = DinvU[:, :, :n0]
+        DinvCt = DinvU[:, :, n0:]
+
+        # contract straight to the replicated outputs: GSPMD computes the
+        # per-device partial sums inside the einsum and emits ONE
+        # all-reduce each, with no (S, ...) intermediate materialized
+        M = jnp.einsum("sni,snk->ik", U, DinvU)          # (n0+mC, n0+mC)
+        G = jnp.einsum("smi,smk->ik", A_fs, A_fs)        # (n0, n0)
 
         # first-stage Schur block with coupling duals kept EXPLICIT:
         #   [ E0'   Fᵀ  ] [dv0]   (E0' may be near-singular alone — e.g. a
         #   [ F    -Hc  ] [dyC]    coupling-row slack touched by no local
         # row — but the saddle pair is well-posed; eliminate dyC through
         # the SPD capacitance Hc = δcI + Σ C_s D⁻¹ C_sᵀ.)
-        E0p = (
-            K00
-            + jnp.diag(d_fs)
-            + jnp.sum(G, axis=0)
-            - jnp.einsum("sij,sik->jk", B, DinvB)
-        )
-        F = C0 - jnp.einsum("scn,snk->ck", Cs, DinvB)    # (mC, n0)
-        Hc = dc * jnp.eye(mC, dtype=dt) + jnp.einsum(
-            "scn,snk->ck", Cs, DinvCt
-        )
+        E0p = K00 + jnp.diag(d_fs) + G / dc - M[:n0, :n0]
+        F = C0 - M[n0:, :n0]                              # (mC, n0)
+        Hc = dc * jnp.eye(mC, dtype=dt) + M[n0:, n0:]
         LHc = jnp.linalg.cholesky(Hc)
         ok_M = jnp.all(jnp.isfinite(LHc))
         HcinvF = (
@@ -379,12 +382,11 @@ class ScenarioSchurKKT:
             """Direct solve of the condensed system for block RHS."""
             # fold local constraint rows into the primal blocks
             rhat_loc = b1_loc + jnp.einsum("smn,sm->sn", A_loc, b2_loc) / dc
-            rhat_fs = b1_fs + jnp.sum(
-                jnp.einsum("smn,sm->sn", A_fs, b2_loc), axis=0
-            ) / dc
             Dinv_r = d_solve(rhat_loc[:, :, None])[:, :, 0]  # (S, n_loc)
-            b1p = rhat_fs - jnp.einsum("sij,si->j", B, Dinv_r)
-            b2p = b2C - jnp.einsum("scn,sn->c", Cs, Dinv_r)
+            U_dr = jnp.einsum("sni,sn->i", U, Dinv_r)     # Σ [Bᵀ;C] D⁻¹ r̂
+            rhat_fs = b1_fs + jnp.einsum("smn,sm->n", A_fs, b2_loc) / dc
+            b1p = rhat_fs - U_dr[:n0]
+            b2p = b2C - U_dr[n0:]
             dv0 = sfs_solve(
                 b1p + HcinvF.T @ b2p if mC else b1p
             )
@@ -414,29 +416,27 @@ class ScenarioSchurKKT:
         # δc → κc·μ becomes tiny late in the IPM)
         def refine(carry, _):
             dv0, dvs, dy_loc, dyC = carry
-            # W dv + (σ+δw) dv + Aᵀ dy, blockwise
+            # W dv + (σ+δw) dv + Aᵀ dy, blockwise; the three first-stage
+            # reductions ride ONE stacked collective
             Wv_loc = (
                 jnp.einsum("sij,sj->si", Dw, dvs)
                 + jnp.einsum("sij,j->si", Bw, dv0)
             )
-            Wv_fs = K00 @ dv0 + jnp.sum(
-                jnp.einsum("sij,si->sj", Bw, dvs), axis=0
-            )
+            Wv_fs = K00 @ dv0 + jnp.einsum("sij,si->j", Bw, dvs)
+            afs_dy = jnp.einsum("smn,sm->n", A_fs, dy_loc)
+            cs_dvs = jnp.einsum("scn,sn->c", Cs, dvs)
             Aty_loc = (
                 jnp.einsum("smn,sm->sn", A_loc, dy_loc)
                 + jnp.einsum("scn,c->sn", Cs, dyC)
             )
-            Aty_fs = (
-                jnp.sum(jnp.einsum("smn,sm->sn", A_fs, dy_loc), axis=0)
-                + C0.T @ dyC
-            )
+            Aty_fs = afs_dy + C0.T @ dyC
             e1_loc = r1_loc0 - (Wv_loc + d_loc * dvs + Aty_loc)
             e1_fs = r1_fs0 - (Wv_fs + d_fs * dv0 + Aty_fs)
             Av_loc = (
                 jnp.einsum("smn,sn->sm", A_loc, dvs)
                 + jnp.einsum("smn,n->sm", A_fs, dv0)
             )
-            Av_C = C0 @ dv0 + jnp.einsum("scn,sn->c", Cs, dvs)
+            Av_C = C0 @ dv0 + cs_dvs
             e2_loc = r2_loc0 - (Av_loc - dc * dy_loc)
             e2_C = r2C0 - (Av_C - dc * dyC)
             c0, cs, cl, cC = solve_once(e1_fs, e1_loc, e2_loc, e2_C)

@@ -43,12 +43,19 @@ def main():
         model, tol=1e-4, factor_dtype="float32", acceptable_iter=5,
         acceptable_tol=1e-3, max_iter=60,
     )
+    d = r.detail or {}
+    it = max(r.iterations, 1)
     print(
         f"RESULT nbus={NBUS} gather={GATHER} status={r.status} "
         f"iters={r.iterations} wall={time.time() - t0:.0f}s "
-        f"loop_compile={(r.detail or {}).get('loop_compile_s', -1):.0f}s "
+        f"loop_compile={d.get('loop_compile_s', -1):.0f}s "
+        f"loop_exec={d.get('loop_exec_s', -1):.1f}s "
+        f"({d.get('loop_exec_s', 0) / it:.2f}s/iter, "
+        f"kkt_trips={d.get('kkt_trips')} "
+        f"backsolves={d.get('kkt_backsolves')} "
+        f"= {d.get('kkt_backsolves', 0) / it:.0f}/iter) "
         f"prim_inf={r.primal_infeasibility:.2e} "
-        f"dual_inf={r.dual_infeasibility:.2e}",
+        f"dual_inf={r.dual_infeasibility:.2e} mu={r.mu:.1e}",
         flush=True,
     )
 

@@ -68,6 +68,7 @@ def test_aot_roundtrip_oracles(archive):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_aot_model_solves(archive):
     model, path = archive
     loaded = load_model(path)

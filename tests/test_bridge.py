@@ -124,6 +124,7 @@ class TestFlatCore:
             np.asarray(m.cons(x0)), 0.25 - 1.0, rtol=1e-12
         )
 
+    @pytest.mark.slow
     def test_solves_same_as_pattern(self):
         mp = lv_pattern_model(10)
         mf = lv_flat_model(10).build()

@@ -222,6 +222,7 @@ class TestOpCoverage:
 
 
 class TestDataAndParams:
+    @pytest.mark.slow
     def test_tuple_data(self):
         # electrons-on-a-sphere style pair data
         np_ = 6
@@ -236,6 +237,7 @@ class TestDataAndParams:
         c.add_con(lambda i: x[i] ** 2 + y[i] ** 2 - 1, range(np_))
         check_model(ExaModel(c))
 
+    @pytest.mark.slow
     def test_namedtuple_data_and_params(self):
         from collections import namedtuple
 
@@ -305,6 +307,7 @@ class TestStructure:
             fd = (float(m.obj(x + e)) - float(m.obj(x - e))) / (2 * h)
             assert abs(fd - g[k]) < 1e-5 * max(1.0, abs(g[k]))
 
+    @pytest.mark.slow
     def test_empty_and_singleton(self):
         c = ExaCore()
         x = c.add_var(3, start=1.0)

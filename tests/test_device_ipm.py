@@ -86,6 +86,7 @@ class TestDeviceIPM:
         assert ref.status == "first_order" and r.status == "first_order"
         assert abs(r.objective - ref.objective) < 1e-6 * max(1, abs(ref.objective))
 
+    @pytest.mark.slow
     def test_hybrid_recovers_when_f32_stage_stalls(self):
         """switch_tol below what an f32 factorization can reach: the coarse
         stage ends stalled/acceptable and the f64 polish must still carry

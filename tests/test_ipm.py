@@ -69,13 +69,18 @@ class TestModelZoo:
         "name,build,obj_ref,atol",
         [
             # Thomson problem minimal energy for np=25 (COPS 3.0 table)
-            ("elec25", lambda: elec_model(25), 243.8128, 1e-2),
-            ("chain", lambda: chain_model(204), 5.0723, 1e-3),
+            pytest.param("elec25", lambda: elec_model(25), 243.8128,
+                         1e-2, marks=pytest.mark.slow),
+            pytest.param("chain", lambda: chain_model(204), 5.0723,
+                         1e-3, marks=pytest.mark.slow),
             ("catmix", lambda: catmix_model(50), -0.048055, 1e-3),
             # particle steering min time
-            ("steering", lambda: steering_model(50), 0.5546, 1e-3),
-            ("camshape", lambda: camshape_model(50), -4.2952, 2e-2),
-            ("torsion", lambda: torsion_model(12, 12), None, None),
+            pytest.param("steering", lambda: steering_model(50), 0.5546,
+                         1e-3, marks=pytest.mark.slow),
+            pytest.param("camshape", lambda: camshape_model(50), -4.2952,
+                         2e-2, marks=pytest.mark.slow),
+            pytest.param("torsion", lambda: torsion_model(12, 12), None,
+                         None, marks=pytest.mark.slow),
         ],
     )
     def test_solves(self, name, build, obj_ref, atol):
@@ -87,6 +92,7 @@ class TestModelZoo:
                 f"{name}: obj {r.objective} vs ref {obj_ref}"
             )
 
+    @pytest.mark.slow
     def test_opf_synthetic(self):
         m = ac_opf_model(30)
         r = madipm(m, tol=1e-8, max_iter=200)

@@ -44,6 +44,7 @@ class TestParser:
         r = madipm(ac_opf_model(d), tol=1e-8)
         assert r.status == "first_order"
         assert abs(float(r.objective) - 5296.69) < 0.01
+    @pytest.mark.slow
     def test_case14_ieee_end_to_end(self):
         """IEEE 14-bus (published CDF data, transcribed in
         tests/data/case14.m): a second real case with features case9 lacks
@@ -139,6 +140,7 @@ class TestOPFModel:
             rows = c[names == block]
             assert np.abs(rows).max() < 1e-10, block
 
+    @pytest.mark.slow
     def test_case3_solves(self):
         m = ac_opf_model(CASE3)
         r = madipm(m, tol=1e-8, max_iter=100)

@@ -144,6 +144,7 @@ def tiled_case14(tmp_path, *, ties_on: bool, tie_tap: float = 1.05):
 
 
 class TestTiledCase:
+    @pytest.mark.slow
     def test_nine_islands_exact_anchor(self, tmp_path):
         path = tiled_case14(tmp_path, ties_on=False)
         m = ac_opf_model(path)

@@ -144,6 +144,7 @@ class TestVectorOracle:
         assert has_matfree_jac(o) and has_matfree_hess(o)
         check_equal(m, equivalent_simd_model())
 
+    @pytest.mark.slow
     def test_host_matrix_free_probe_reconstruction(self):
         """Non-traceable oracle with ONLY matrix-free callbacks: jac_coord/
         hess_coord must be reconstructed from jvp/hvp probes (parity:

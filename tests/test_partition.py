@@ -135,6 +135,7 @@ class TestPartitionedSolve:
 
 
 class TestDeviceLoopSchur:
+    @pytest.mark.slow
     def test_partitioned_model_through_device_loop(self):
         # the single-dispatch device IPM accepts the schur backend too, so
         # partitioned/two-stage models get the zero-host-sync loop

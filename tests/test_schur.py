@@ -131,6 +131,7 @@ class TestSchurIPM:
             np.asarray(r_schur.y), np.asarray(r_dense.y), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_auto_selected_for_large_two_stage(self):
         """Auto dispatch picks schur above dense_limit and still solves."""
         m = build_model(ns=8, nv=3, coupling=True)

@@ -28,6 +28,7 @@ class TestStochasticOPF:
         perc = (ctags == 1).sum()
         assert all((ctags == k).sum() == perc for k in range(1, 4))
 
+    @pytest.mark.slow
     def test_schur_matches_dense(self):
         m = stochastic_opf_model(4, nscen=4)
         rd = madipm(m, tol=1e-8, linear_solver="dense")
@@ -40,6 +41,7 @@ class TestStochasticOPF:
             np.asarray(rd.x), np.asarray(rs.x), atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_ramp_constraint_binds(self):
         """With a tight ramp budget the recourse dispatch must stay within
         Δ of pg0 (the coupling rows are actually enforced)."""

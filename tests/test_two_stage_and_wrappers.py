@@ -211,6 +211,7 @@ class TestWrappers:
         keys = set(zip(map(int, jr), map(int, jc)))
         assert len(keys) == m.nnzj
 
+    @pytest.mark.slow
     def test_wrapper_returns_numpy(self):
         m = WrapperModel(self._model())
         out = m.grad(m.x0)
