@@ -231,7 +231,20 @@ class BlockTriKKT:
         self._a_cols = a_cols.astype(np.int32)
         self._store = int(D_sz + max(0, (nb - 1)) * b * b)
 
-        self._jit_solve = jax.jit(self._solve_impl)
+        def _solve_full_precision(*args):
+            # TPU MXU f32 "dots" default to ONE bf16 pass (~8 mantissa
+            # bits). A block-Cholesky Schur chain at bf16 effective
+            # precision is useless as a preconditioner (measured at
+            # 2000-bus: every Krylov recovery exits unconverged at every
+            # δw, 40/40 rejection trips, while the identical f32 factor on
+            # CPU — true IEEE f32 — preconditions fine). float32 precision
+            # = 3-pass bf16 on the MXU: ~3x the matmul cost, ~2^16x the
+            # accuracy, and it is what makes the mixed-precision design
+            # work on TPU at all. f64 ops are unaffected (already exact).
+            with jax.default_matmul_precision("float32"):
+                return self._solve_impl(*args)
+
+        self._jit_solve = jax.jit(_solve_full_precision)
 
     # ------------------------------------------------------------------
     def _avals(self, jvals):
@@ -544,8 +557,12 @@ class BlockTriKKT:
 
         def cg_cond(c):
             _, _, r, _, rz, it_, its = c
+            # `its < cg_maxiter` bounds TOTAL inner-PCG work across the
+            # dual CG (not just per-application): the worst case per KKT
+            # solve stays ~2x cg_maxiter backsolves, so one IPM iteration
+            # cannot run past a runtime dispatch watchdog
             return (jnp.vdot(r, r) > tol2_out) & (it_ < outer_max) \
-                & jnp.isfinite(rz)
+                & (its < self.cg_maxiter) & jnp.isfinite(rz)
 
         def cg_body(c):
             dy, dvc, r, p, rz, it_, its = c
