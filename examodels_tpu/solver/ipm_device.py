@@ -274,6 +274,17 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
         wall_d = time.time() - td
         loop_exec_s += wall_d
         n_dispatch += 1
+        if opts.verbose:
+            print(
+                f"[madipm_device] chunk {n_dispatch}: it={it_i} "
+                f"status={status_i} wall={wall_d:.1f}s "
+                f"trips={int(st['kkt_trips'])} "
+                f"backsolves={int(st['kkt_backsolves'])} "
+                f"prim={float(st['prim_inf']):.1e} "
+                f"dual={float(st['dual_inf']):.1e} "
+                f"mu={float(st['mu']):.1e}",
+                flush=True,
+            )
         if status_i != _RUNNING or it_i >= opts.max_iter:
             break
         if loop_exec_s >= opts.device_max_wall_s:
