@@ -69,7 +69,7 @@ class BlockTriKKT:
                  factor_dtype=None, ir_rounds: int = 3,
                  cg_maxiter: int = 120, cg_accept: float = 1e-8,
                  hykkt_frac: float = 0.5, cg_inner_maxiter: int = 32,
-                 hykkt_inner_tol: float = 1e-11):
+                 hykkt_inner_tol: float = 3e-9):
         """`factor_dtype` (e.g. jnp.float32) factorizes in lower precision
         on the MXU with Jacobi equilibration, recovering accuracy via
         `ir_rounds` of iterative refinement in `dtype` — the mixed-precision
@@ -110,6 +110,38 @@ class BlockTriKKT:
         self.hykkt_frac = float(hykkt_frac)
         self.cg_inner_maxiter = int(cg_inner_maxiter)
         self.hykkt_inner_tol = float(hykkt_inner_tol)
+        # TPU MXU f32 "dots" default to ONE bf16 pass (~8 mantissa bits).
+        # The equilibrated off-diagonal blocks stay ~0.95 at ANY δw (the
+        # AᵀA/δc term dominates the diagonal), so a bf16-quality Schur
+        # update D_k − C Cᵀ loses PD to the ~8e-3 matmul error at block 1
+        # and the whole factor NaNs (measured at 2000-bus: every recovery
+        # exits unconverged at every δw on TPU while the identical f32
+        # factor on CPU — true IEEE f32 — preconditions fine). The CHAIN
+        # therefore runs at float32 dot precision. The SWEEPS only apply
+        # the preconditioner — noise there costs Krylov iterations, not
+        # correctness — so their precision is tunable separately (cost on
+        # the MXU: default=1 pass, bfloat16_3x=3, float32≈6).
+        # (jnp.linalg.cholesky / solve_triangular are precision-robust on
+        # TPU independent of this setting — measured 1.6e-7 relative at
+        # b=1216 under the default; only the raw matmuls need forcing.)
+        self.factor_matmul_precision = "float32"
+        # the X3 dot algorithm is a TPU-only enum (the CPU elemental IR
+        # emitter rejects it); CPU f32 dots are true IEEE f32 already
+        self.sweep_matmul_precision = (
+            "BF16_BF16_F32_X3" if jax.default_backend() == "tpu"
+            else "default"
+        )
+        # fallback static-pivot shift = mult * eps(factor_dtype) on the
+        # equilibrated diagonal, used only when the UNSHIFTED chain NaNs
+        # (see _factor_mixed): large enough to keep the f32 chain PD at
+        # small δw (measured: 2·eps NaNs, 16·eps factors at 2000-bus
+        # dw=1e-4), small enough not to cap the preconditioner harder than
+        # necessary (PCG stall level scales with shift · cond(K̂))
+        self.static_shift_eps_mult = 16.0
+        # always use the shifted factor (skip the unshifted attempt):
+        # for A/B experiments and tests that need the weak-preconditioner
+        # regime deterministically
+        self.force_static_shift = False
         # when True, solve() returns (dv, dy, pd_ok, n_backsolves) so the
         # device loop / profiler can account Krylov work (trace-time static)
         self.report_stats = False
@@ -231,20 +263,7 @@ class BlockTriKKT:
         self._a_cols = a_cols.astype(np.int32)
         self._store = int(D_sz + max(0, (nb - 1)) * b * b)
 
-        def _solve_full_precision(*args):
-            # TPU MXU f32 "dots" default to ONE bf16 pass (~8 mantissa
-            # bits). A block-Cholesky Schur chain at bf16 effective
-            # precision is useless as a preconditioner (measured at
-            # 2000-bus: every Krylov recovery exits unconverged at every
-            # δw, 40/40 rejection trips, while the identical f32 factor on
-            # CPU — true IEEE f32 — preconditions fine). float32 precision
-            # = 3-pass bf16 on the MXU: ~3x the matmul cost, ~2^16x the
-            # accuracy, and it is what makes the mixed-precision design
-            # work on TPU at all. f64 ops are unaffected (already exact).
-            with jax.default_matmul_precision("float32"):
-                return self._solve_impl(*args)
-
-        self._jit_solve = jax.jit(_solve_full_precision)
+        self._jit_solve = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------------
     def _avals(self, jvals):
@@ -288,22 +307,8 @@ class BlockTriKKT:
 
     def _equilibrate(self, D, E):
         """Jacobi scaling s = 1/√diag(K); returns scaled (D, E, s) with
-        blocks cast to factor_dtype.
-
-        Mixed precision adds a STATIC-PIVOTING shift ε·I (ε = 256·eps of
-        the factor dtype ≈ 3e-5 for f32) to the scaled diagonal of the
-        factor input only: a long Schur-complement Cholesky chain in f32
-        loses positive-definiteness to roundoff once cond(K̂) approaches
-        1/eps_f32, NaNs the whole factor, and sends the IPM's δw loop into
-        runaway inflation — after which dv≈0 and the condensed dual
-        recovery dy=(A·dv−r2)/δc returns the poisoned step dy≈−r2/δc
-        (measured at 10k-bus AC-OPF: dual_inf ≈ prim_inf/δc = 3e4, scaling
-        exactly 1/δc across δc sweeps, while 2000-bus was unaffected). The
-        shift exists ONLY inside the preconditioner; the f64 PCG corrects
-        the ~3e-5 unit-diagonal bias in a couple of extra iterations, and
-        true indefiniteness is still caught by the IPM's curvature test on
-        the corrected step (this backend does not certify inertia in mixed
-        precision)."""
+        blocks cast to factor_dtype. No shift here — static pivoting is
+        applied (when needed) by `_factor_mixed`'s shift-pair."""
         b, nb = self.b, self.nb
         diag = jnp.diagonal(D, axis1=1, axis2=2)  # (nb, b)
         s = jax.lax.rsqrt(jnp.maximum(diag, 1e-300))
@@ -314,18 +319,47 @@ class BlockTriKKT:
             Es = E
         Ds = Ds.astype(self.factor_dtype)
         Es = Es.astype(self.factor_dtype)
-        if jnp.dtype(self.factor_dtype) != jnp.dtype(self.dtype):
-            shift = 256.0 * float(jnp.finfo(self.factor_dtype).eps)
-            eye = jnp.eye(b, dtype=self.factor_dtype)
-            Ds = Ds + shift * eye
         return Ds, Es, s
+
+    def _factor_mixed(self, Ds, Es):
+        """Shift-pair mixed-precision factorization.
+
+        The f32 Schur chain loses PD to f32-storage roundoff when the
+        scaled λmin sits below ~eps32·(chain growth); a static-pivot shift
+        ε·I keeps it factorable but CAPS the preconditioner quality — PCG
+        stalls at the shift·cond(K̂) level (measured at 2000-bus, dw=1:
+        shift=256·eps stalls at 2e-1 after 120 iterations, shift=0
+        converges 1e-8 in 24). The shift is only NEEDED when δw is small
+        (measured: dw=1e-4 NaNs at shift ≤ 2·eps, factors at 16·eps). So:
+        factor BOTH ways — unshifted, and with static_shift_eps_mult·eps —
+        and keep the unshifted factor whenever its chain survived. Factor
+        cost is ~2x (≈ 50 ms per factor at 2000-bus, X3 precision) against
+        Krylov sweeps that dominate the solve; the payoff is the fast
+        preconditioner on exactly the iterations that can use it."""
+        b = self.b
+        shift = self.static_shift_eps_mult * float(
+            jnp.finfo(self.factor_dtype).eps
+        )
+        eye = jnp.eye(b, dtype=self.factor_dtype)
+        if self.force_static_shift:
+            return self._chol_blocktri(Ds + shift * eye, Es)
+        Ld0, Ls0, ok0 = self._chol_blocktri(Ds, Es)
+        Ld1, Ls1, ok1 = self._chol_blocktri(Ds + shift * eye, Es)
+        Ld = jnp.where(ok0, Ld0, Ld1)
+        Ls = jnp.where(ok0, Ls0, Ls1) if Ls0.shape[0] else Ls0
+        return Ld, Ls, ok0 | ok1
 
     def _chol_blocktri(self, D, E):
         """Block-tridiagonal Cholesky. Returns (Linv, L_sub, ok) where
         Linv[k] = L_k⁻¹ is materialized (one b×b triangular solve against I
         per block) so the subsequent forward/backward sweeps are pure
         matmuls — trisolves with vector right-hand sides are MXU-hostile,
-        matvecs with L⁻¹ are not."""
+        matvecs with L⁻¹ are not. Runs at factor_matmul_precision (see
+        __init__: chain PD-ness dies at the TPU default)."""
+        with jax.default_matmul_precision(self.factor_matmul_precision):
+            return self._chol_blocktri_body(D, E)
+
+    def _chol_blocktri_body(self, D, E):
         b, nb = self.b, self.nb
         fdt = D.dtype
         eye = jnp.eye(b, dtype=fdt)
@@ -354,7 +388,12 @@ class BlockTriKKT:
 
     def _solve_blocktri(self, Linv, Ls, rhs):
         """Solve L Lᵀ x = rhs given materialized block inverses
-        (matmul-only sweeps)."""
+        (matmul-only sweeps) at sweep_matmul_precision (preconditioner
+        application: noise costs Krylov iterations, not correctness)."""
+        with jax.default_matmul_precision(self.sweep_matmul_precision):
+            return self._solve_blocktri_body(Linv, Ls, rhs)
+
+    def _solve_blocktri_body(self, Linv, Ls, rhs):
         b, nb = self.b, self.nb
         fdt = Linv.dtype
         r = rhs.reshape(nb, b).astype(fdt)
@@ -421,7 +460,10 @@ class BlockTriKKT:
         gamma = (self.hykkt_frac / dc) if hykkt else (1.0 / dc)
         D, E = self._assemble(hvals, jvals, sigma, dw, gamma)
         Df, Ef, sdiag = self._equilibrate(D, E)
-        Ld, Ls, ok = self._chol_blocktri(Df, Ef)
+        if mixed:
+            Ld, Ls, ok = self._factor_mixed(Df, Ef)
+        else:
+            Ld, Ls, ok = self._chol_blocktri(Df, Ef)
         s_flat = sdiag.reshape(-1)
 
         perm = jnp.asarray(self.perm)

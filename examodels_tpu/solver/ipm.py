@@ -71,6 +71,11 @@ class IPMOptions:
     delta_w_min: float = 1e-20
     delta_w_max: float = 1e40
     kappa_w_plus: float = 8.0
+    # first-ever inflation factor (Ipopt's kappa_w_plus_bar): until a δw
+    # has ever been accepted, escalate 100x per rejection instead of 8x —
+    # a mixed-precision factor can need δw ≈ 1 at the (ill-conditioned)
+    # first iterate, and 8x from 1e-4 burns ~6 full KKT solves getting there
+    kappa_w_plus_bar: float = 100.0
     kappa_w_minus: float = 1.0 / 3.0
     delta_c_bar: float = 1e-8
     delta_c_min: float = 0.0  # floor on the dual regularization (raised
@@ -646,7 +651,9 @@ def madipm(model, options: Optional[IPMOptions] = None, *, theta=None,
                     curv, dnorm = float(cchk_np[0]), float(cchk_np[1])
                     if curv >= opts.curvature_kappa * dnorm:
                         break
-            delta_w = trial_w if delta_w == 0.0 else delta_w * opts.kappa_w_plus
+            kwp = (opts.kappa_w_plus_bar if delta_w_last == 0.0
+                   else opts.kappa_w_plus)
+            delta_w = trial_w if delta_w == 0.0 else delta_w * kwp
             if delta_w > opts.delta_w_max:
                 status = "kkt_failure"
                 break

@@ -332,7 +332,8 @@ def madipm_device(model, options: Optional[IPMOptions] = None, *, theta=None,
 _P_FLOAT = (
     "tol", "acceptable_tol", "s_max", "kappa_eps", "kappa_mu", "theta_mu",
     "tau_min", "mu_init", "delta_c_bar", "kappa_c", "delta_w0",
-    "delta_w_min", "kappa_w_minus", "kappa_w_plus", "curvature_kappa",
+    "delta_w_min", "kappa_w_minus", "kappa_w_plus", "kappa_w_plus_bar",
+    "curvature_kappa",
     "alpha_min_frac", "gamma_theta", "gamma_phi", "delta", "s_theta",
     "s_phi", "eta_phi", "kappa_sigma",
 )
@@ -508,8 +509,15 @@ def _build_loop(F, kkt, dtype, n, m, n_bound):
                     good = good & (
                         curv >= P["curvature_kappa"] * jnp.vdot(dv2, dv2)
                     )
+                # first-ever inflation escalates 100x (Ipopt's κ̄w⁺): a
+                # mixed-precision factor can need δw ≈ 1 at the first
+                # iterate, and 8x from 1e-4 burns ~6 full KKT solves
+                kwp = jnp.where(
+                    st["dw_last"] == 0.0,
+                    P["kappa_w_plus_bar"], P["kappa_w_plus"],
+                )
                 dw_next = jnp.where(
-                    good, dw, jnp.where(dw == 0.0, trial_w, dw * P["kappa_w_plus"])
+                    good, dw, jnp.where(dw == 0.0, trial_w, dw * kwp)
                 )
                 return (dw_next, jnp.where(good, dv2, dv), jnp.where(good, dy2, dy),
                         good, trips + 1, bs)

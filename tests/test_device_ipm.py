@@ -154,6 +154,12 @@ class TestHyKKTDualRecovery:
 
         def err(**kw):
             k = BlockTriKKT(st, jnp.float64, factor_dtype=jnp.float32, **kw)
+            # pin the WEAK-preconditioner regime (a large forced static
+            # shift caps the factor quality the way 10k-bus tail
+            # conditioning does): Krylov then stalls above its target and
+            # the recovery decides whether the leftover poisons the duals
+            k.force_static_shift = True
+            k.static_shift_eps_mult = 256.0
             _, dy, _ = k.solve(hv, jv, sigma, dw, dc, r1, r2)
             return float(
                 jnp.linalg.norm(dy - dy_ref) / jnp.linalg.norm(dy_ref)
