@@ -140,10 +140,17 @@ def _parse_expr(tok: _Tokens, defined: dict) -> Node:
             a = _parse_expr(tok, defined)
             b = _parse_expr(tok, defined)
             return make_binary("max", make_binary("sub", a, b), as_node(0.0))
-        raise ValueError(f"unsupported .nl opcode o{op}")
+        raise ValueError(
+            f"unsupported .nl opcode o{op} (near line {tok.done_line()})"
+        )
     if c == "f":
-        raise ValueError(".nl imported functions (f segments) are not supported")
-    raise ValueError(f"unexpected .nl token {t!r}")
+        raise ValueError(
+            ".nl imported functions (f segments) are not supported "
+            f"(near line {tok.done_line()})"
+        )
+    raise ValueError(
+        f"unexpected .nl token {t!r} (near line {tok.done_line()})"
+    )
 
 
 class _VarRef(Node):
