@@ -128,7 +128,7 @@ class BlockTriKKT:
         # the X3 dot algorithm is a TPU-only enum (the CPU elemental IR
         # emitter rejects it); CPU f32 dots are true IEEE f32 already
         self.sweep_matmul_precision = (
-            "BF16_BF16_F32_X3" if jax.default_backend() == "tpu"
+            "float32" if jax.default_backend() == "tpu"
             else "default"
         )
         # fallback static-pivot shift = mult * eps(factor_dtype) on the
