@@ -98,9 +98,12 @@ class BlockTriKKT:
         cond(M) ≤ 1 + ω/κ (= 2 at κ = 0.5) INDEPENDENT of the problem —
         CG converges in a handful of iterations and no quantity is ever
         divided by δc. Each M·p application solves with H_γ via a short
-        f64 PCG preconditioned by the f32 factor (`cg_inner_maxiter` cap).
-        hykkt_frac=0 restores the legacy condensed recovery (kept for
-        A/B measurement)."""
+        PCG run entirely in the equilibrated f32 "hat" space (dense
+        block-tridiagonal mat-vecs + the f32 factor as preconditioner,
+        f64-accumulated dots; `cg_inner_maxiter` cap) — on TPU the
+        emulated-f64 COO mat-vec costs 10x the f32 backsolve, so keeping
+        Krylov out of f64 is most of the speed. hykkt_frac=0 restores the
+        legacy condensed recovery (kept for A/B measurement)."""
         self.s = structure
         self.dtype = dtype
         self.factor_dtype = factor_dtype or dtype
